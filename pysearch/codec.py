@@ -1,0 +1,181 @@
+"""Posting-list block codec: delta-gap + varint (LEB128 / PForDelta-style),
+fully vectorized in numpy (no per-element Python loops — the input_hint
+forbids per-row Python work).
+
+This is the analog of the reference's vector-compression tier: PQ codebooks /
+NVQ (JVectorIndexQuantization.java:45-140) compress vectors for traversal and
+keep full-precision data for rerank; here varint blocks compress postings for
+storage and carry per-block (max_tf, min_dl) upper-bound metadata so the
+query path can skip whole blocks (block-max WAND) and recompute exact BM25
+only for survivors — the same approximate-traversal / exact-rerank split as
+JVectorReader.java:166-174,353-366.
+
+Block layout (one row per block in the postings table):
+    term        string   indexed term
+    block_id    int      0..n_blocks-1 within (segment, term)
+    n           int      postings in this block (<= block_size)
+    first_id    long     local doc id of the first posting (delta base)
+    last_id     long     local doc id of the last posting (for skip tests)
+    ids         binary   varint deltas of ids[1:] minus previous id
+    tfs         binary   varint term frequencies
+    max_tf      int      max tf in block        } block-max metadata
+    min_dl      int      min doc length in block } (upper-bounds BM25 tfnorm)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_VARINT_BYTES = 10  # 64 bits / 7 bits-per-byte
+
+
+# ---------------------------------------------------------------------------
+# varint (LEB128) — vectorized
+# ---------------------------------------------------------------------------
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array as concatenated LEB128 varints (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: 1 + number of 7-bit groups above the first
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    threshold = np.uint64(1 << 7)
+    for _ in range(_MAX_VARINT_BYTES - 1):
+        mask = v >= threshold
+        if not mask.any():
+            break
+        nbytes += mask
+        if threshold >= np.uint64(1 << 57):
+            break
+        threshold = np.uint64(int(threshold) << 7)
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    seven = np.uint64(0x7F)
+    for level in range(int(nbytes.max())):
+        sel = nbytes > level
+        chunk = (v[sel] >> np.uint64(7 * level)) & seven
+        cont = (nbytes[sel] - 1 > level).astype(np.uint8) << 7
+        out[starts[sel] + level] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, n: int) -> np.ndarray:
+    """Decode `n` LEB128 varints from `buf` into a uint64 array (vectorized)."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    terminal = b < 128
+    # value index for each byte = number of terminators strictly before it
+    group = np.zeros(b.size, dtype=np.int64)
+    np.cumsum(terminal[:-1], out=group[1:])
+    ends = np.flatnonzero(terminal)
+    starts = np.empty(ends.size, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    pos = np.arange(b.size, dtype=np.int64) - starts[group]
+    values = np.zeros(n, dtype=np.uint64)
+    payload = (b & np.uint8(0x7F)).astype(np.uint64)
+    for level in range(int(pos.max()) + 1):
+        m = pos == level
+        # each group index appears at most once per level -> safe fancy |=
+        values[group[m]] |= payload[m] << np.uint64(7 * level)
+    return values
+
+
+# ---------------------------------------------------------------------------
+# posting blocks
+# ---------------------------------------------------------------------------
+
+def encode_posting_blocks(
+    ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int,
+):
+    """Split a posting list into compressed blocks (sorted by id here).
+
+    Returns one tuple per block:
+    (block_id, n, first_id, last_id, ids_bytes, tfs_bytes, dls_bytes,
+     max_tf, min_dl, sum_tf).
+    Doc lengths are stored in-block (denormalized norms, the Lucene-norms
+    analog) so the query path scores from postings alone.
+    """
+    order = np.argsort(ids, kind="stable")
+    ids = np.asarray(ids, dtype=np.int64)[order]
+    tfs = np.asarray(tfs, dtype=np.int64)[order]
+    dls = np.asarray(dls, dtype=np.int64)[order]
+    n = ids.size
+    out = []
+    for b0 in range(0, n, block_size):
+        sl = slice(b0, min(b0 + block_size, n))
+        bids, btfs, bdls = ids[sl], tfs[sl], dls[sl]
+        deltas = np.diff(bids).astype(np.uint64)  # strictly increasing ids
+        out.append(
+            (
+                b0 // block_size,
+                int(bids.size),
+                int(bids[0]),
+                int(bids[-1]),
+                varint_encode(deltas),
+                varint_encode(btfs.astype(np.uint64)),
+                varint_encode(bdls.astype(np.uint64)),
+                int(btfs.max()),
+                int(bdls.min()),
+                int(btfs.sum()),
+            )
+        )
+    return out
+
+
+def decode_block_dls(n: int, dls_buf: bytes) -> np.ndarray:
+    return varint_decode(dls_buf, n).astype(np.int64)
+
+
+def decode_blocks_batch(first_ids, last_ids, ns, ids_bufs, tfs_bufs, dls_bufs):
+    """Decode MANY blocks of one term in a single vectorized pass.
+
+    Blocks must be in ascending id order (their id ranges are disjoint by
+    construction). Returns (ids, tfs, dls) int64 arrays of total length
+    sum(ns). The id reconstruction uses one global cumsum: the delta at each
+    block start is ``first_id[j] - last_id[j-1]`` (> 0), so a single
+    ``np.cumsum`` over the stitched delta stream yields all ids — no
+    per-block Python loop.
+    """
+    first_ids = np.asarray(first_ids, dtype=np.int64)
+    last_ids = np.asarray(last_ids, dtype=np.int64)
+    ns = np.asarray(ns, dtype=np.int64)
+    total = int(ns.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+
+    deltas = varint_decode(b"".join(ids_bufs), int((ns - 1).sum()))
+    delta_full = np.empty(total, dtype=np.int64)
+    # non-start positions get the in-block deltas, in order
+    mask = np.ones(total, dtype=bool)
+    mask[starts] = False
+    delta_full[mask] = deltas.astype(np.int64)
+    delta_full[starts[0]] = first_ids[0]
+    delta_full[starts[1:]] = first_ids[1:] - last_ids[:-1]
+    ids = np.cumsum(delta_full)
+
+    tfs = varint_decode(b"".join(tfs_bufs), total).astype(np.int64)
+    dls = varint_decode(b"".join(dls_bufs), total).astype(np.int64)
+    return ids, tfs, dls
+
+
+def decode_block_ids(first_id: int, n: int, ids_buf: bytes) -> np.ndarray:
+    """Inverse of the id half of `encode_posting_blocks` for one block."""
+    ids = np.empty(n, dtype=np.int64)
+    ids[0] = first_id
+    if n > 1:
+        deltas = varint_decode(ids_buf, n - 1).astype(np.int64)
+        np.cumsum(deltas, out=ids[1:])
+        ids[1:] += first_id
+    return ids
+
+
+def decode_block_tfs(n: int, tfs_buf: bytes) -> np.ndarray:
+    return varint_decode(tfs_buf, n).astype(np.int64)

@@ -1,0 +1,98 @@
+"""Brute-force BM25 oracle — pure DataFrame ops, no index.
+
+The analog of the reference's exact-search tier and its ground-truth oracle:
+VectorIdsKNNIterator (index/query/iterators/VectorIdsKNNIterator.java:23-113)
+scores every candidate doc exactly, and the recall tests compute brute-force
+ground truth in-test (RecallTestsIT.java:48-78, TestUtils ground truth).
+Here: corpus -> tokenize -> explode -> join query terms -> groupBy(doc) sum.
+
+Used by pytest to assert the engine's top-k is RANK-IDENTICAL (stronger than
+recall, per north_rule): same doc ids, same order, scores equal to 1e-6.
+
+Stats semantics match the engine: N/avgdl/df may be supplied explicitly so
+pre-compaction (Lucene-style "deletes don't change stats yet") states can be
+reproduced; by default they come from the supplied corpus itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pysearch.config import IndexConfig
+from pysearch.tokenize import tokenize_code_text, tokenize_text, with_tokens
+
+
+def bm25_topk(
+    corpus_with_ids: DataFrame,
+    query_text: str,
+    k: int | None = 10,
+    min_score: float | None = None,
+    filter_expr: str | None = None,
+    config: IndexConfig | None = None,
+    stats: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Exact BM25 top-k over an id-carrying corpus (doc_id + repo_files cols).
+
+    Returns (doc_id, score) ordered by (score desc, doc_id asc) — ties broken
+    by ascending doc_id exactly like the engine (Lucene doc-order tiebreak).
+    """
+    config = config or IndexConfig()
+    code_aware = bool(config.extra.get("code_aware"))
+    qfn = tokenize_code_text if code_aware else tokenize_text
+    terms = list(dict.fromkeys(qfn(query_text)))
+
+    toks = with_tokens(corpus_with_ids, "content", code_aware=code_aware)
+    posting = toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
+
+    if stats is None:
+        row = toks.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    else:
+        n_docs, avgdl = stats
+
+    if not terms or n_docs == 0:
+        return corpus_with_ids.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+
+    tf = (
+        posting.where(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # idf over the tiny term set — broadcast to the scoring join
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(config.k1)
+                * (F.lit(1.0 - config.b) + F.lit(config.b) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+    if filter_expr is not None:
+        allowed = corpus_with_ids.where(filter_expr).select("doc_id")
+        scored = scored.join(allowed, "doc_id", "left_semi")
+    if min_score is not None:
+        return scored.where(F.col("score") >= min_score).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,524 @@
+"""Query path: BM25 top-k retrieval with block-max skipping.
+
+Re-expresses the reference's search pipeline (KNNQueryBuilder.doToQuery ->
+per-leaf JVectorReader.search -> global TopDocs reduce,
+KNNQueryBuilder.java:376-611, JVectorReader.java:130-211,
+index/query/common/QueryUtils.java:48-123):
+
+  parse      Query dataclass: tokenized text, exactly one of k | min_score,
+             optional filter predicate (any Spark SQL expr over identity
+             columns) — mirrors the knn clause contract
+             (KNNQueryBuilder.java:64-81: exactly one of k|max_distance|
+             min_score, optional filter).
+  plan       broadcast tiny query-term stats (global df summed across live
+             segment dictionaries — partition-pruned by term bucket), compile
+             filter to per-segment accept/deny doc sets (the accept-bits
+             analog, JVectorReader.java:154-164).
+  execute    per segment, a cogrouped Arrow UDF runs Block-Max MaxScore:
+             terms in descending max-upper-bound order are scored exactly
+             (vectorized TAAT) until the remaining terms' summed upper bound
+             falls below the running k-th-best score θ; after that cutoff,
+             remaining terms only *complete* existing candidates' exact
+             scores, and any block whose id range contains no candidate is
+             skipped outright — the per-block (max_tf, min_dl) metadata is
+             the "approximate score" tier, exact BM25 the "full-precision
+             rerank" tier (JVectorReader.java:166-174,353-366 analog).
+  reduce     union of per-segment top-(k * overquery) candidates ->
+             TakeOrderedAndProject global top-k (ResultUtil.reduceToTopK
+             analog), ties broken by ascending doc_id everywhere.
+
+Correctness argument for the skip rule (why ranks stay EXACT): during the
+essential phase every block of the term is decoded and every doc seen is
+admitted, so a doc unseen when the cutoff fires has zero contribution so far
+and a total score <= suffix_ub < θ, while θ is the k-th best *partial* score
+— a lower bound on the k-th best final score. Skipping is therefore lossless;
+equality always admits (ties can still win on doc_id).
+
+BM25 (Lucene flavor, exact doc lengths):
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tfn(t,d)= tf / (tf + k1 * (1 - b + b * dl/avgdl))
+    score   = Σ_t idf(t) * tfn(t,d)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pysearch.build import bucket_of
+from pysearch.checkpoint import IndexMeta
+from pysearch.config import IndexConfig
+from pysearch.tokenize import tokenize_code_text, tokenize_text
+
+HIT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("segment_id", T.StringType()),
+        T.StructField("blocks_scanned", T.IntegerType()),
+        T.StructField("blocks_skipped", T.IntegerType()),
+        T.StructField("strategy", T.StringType()),
+    ]
+)
+
+_RESTRICT_SCHEMA = T.StructType(
+    [
+        T.StructField("segment_id", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("flag", T.IntegerType()),  # 1 = allow, 0 = deny
+    ]
+)
+
+
+@dataclass
+class Query:
+    """The knn-clause analog (KNNQueryBuilder.java:64-81)."""
+
+    text: str
+    k: int | None = 10
+    min_score: float | None = None  # radial / score-threshold mode (Q9)
+    filter_expr: str | None = None  # any SQL predicate over repo/path/lang
+    overquery_factor: int | None = None  # rescore oversample (Q11)
+    params: dict = field(default_factory=dict)
+
+    def validate(self) -> None:
+        if (self.k is None) == (self.min_score is None):
+            raise ValueError("exactly one of k | min_score must be set")
+        if self.k is not None and not (0 < self.k <= 10_000):
+            raise ValueError("k must be in (0, 10000]")
+
+
+class SearchIndex:
+    """Driver-side handle: metadata, global stats, query execution."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.meta = IndexMeta(index_dir)
+        self.config: IndexConfig = self.meta.load_config()
+        self.refresh()
+
+    def refresh(self) -> None:
+        self.manifests = self.meta.live_manifests()
+        self.segments = sorted(self.manifests)
+        self.tombstones = self.meta.tombstones()
+        # Lucene semantics: deleted docs stay in the collection stats until
+        # a compact merge rewrites the segment
+        self.num_docs = sum(m["num_docs"] for m in self.manifests.values())
+        self.sum_dl = sum(m["sum_dl"] for m in self.manifests.values())
+        self.avgdl = (self.sum_dl / self.num_docs) if self.num_docs else 0.0
+
+    # -- plan helpers --------------------------------------------------------
+    def _tokenize_query(self, text: str) -> list[str]:
+        fn = tokenize_code_text if self.config.extra.get("code_aware") else tokenize_text
+        seen, out = set(), []
+        for t in fn(text):
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+        return out
+
+    def _read_union(self, path_fn, segments: Iterable[str]) -> DataFrame | None:
+        dfs = []
+        for s in segments:
+            dfs.append(
+                self.spark.read.parquet(path_fn(s)).withColumn("segment_id", F.lit(s))
+            )
+        if not dfs:
+            return None
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def docmaps(self, segments: Iterable[str] | None = None) -> DataFrame:
+        return self._read_union(self.meta.docmap_path, segments or self.segments)
+
+    def global_term_stats(self, terms: list[str]) -> dict[str, int]:
+        """Global df per term = Σ per-segment df (segments are doc-disjoint).
+        Partition-pruned: only the term buckets of the query are read."""
+        if not terms or not self.segments:
+            return {}
+        buckets = sorted({bucket_of(t, self.config.term_buckets) for t in terms})
+        d = self._read_union(self.meta.dictionary_path, self.segments)
+        rows = (
+            d.where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def idf(self, df_t: int) -> float:
+        return float(np.log(1.0 + (self.num_docs - df_t + 0.5) / (df_t + 0.5)))
+
+    # -- main entry ----------------------------------------------------------
+    def search(
+        self,
+        query: Query | str,
+        k: int | None = None,
+        with_metrics: bool = False,
+    ):
+        """Execute a query; returns hits DataFrame
+        (doc_id, score, repo, path, lang, content_sha) ordered by
+        (score desc, doc_id asc). With with_metrics=True also returns the
+        per-segment metrics DataFrame (stats analog, StatNames.java:14-58).
+        """
+        if isinstance(query, str):
+            query = Query(text=query, k=k or 10)
+        query.validate()
+        spark = self.spark
+        cfg = self.config
+
+        terms = self._tokenize_query(query.text)
+        stats = self.global_term_stats(terms)
+        terms = [t for t in terms if t in stats]  # drop zero-hit terms
+        empty_hits = spark.createDataFrame([], _hits_out_schema())
+        if not terms or not self.segments:
+            return (empty_hits, spark.createDataFrame([], _metrics_schema())) if with_metrics else empty_hits
+
+        idf_map = {t: self.idf(stats[t]) for t in terms}
+        buckets = sorted({bucket_of(t, cfg.term_buckets) for t in terms})
+
+        postings = self._read_union(self.meta.postings_path, self.segments)
+        # bucket partition-pruning + term row-group pruning at the parquet scan
+        postings = postings.where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+        restrict = self._restrictions(query)
+        seg_docs = {s: self.manifests[s]["num_docs"] for s in self.segments}
+
+        k_final = query.k if query.k is not None else 10_000
+        oq = query.overquery_factor or cfg.overquery_factor
+        kernel = _segment_search_factory(
+            idf_map=idf_map,
+            k1=cfg.k1,
+            b=cfg.b,
+            avgdl=self.avgdl,
+            k=k_final,
+            k_keep=min(k_final * oq, 10_000),
+            min_score=query.min_score,
+            filter_present=query.filter_expr is not None,
+            seg_docs=seg_docs,
+            approximate_threshold=cfg.approximate_threshold,
+            bitmap_selectivity=cfg.filter_bitmap_selectivity,
+        )
+        candidates = (
+            postings.groupBy("segment_id")
+            .cogroup(restrict.groupBy("segment_id"))
+            .applyInPandas(kernel, schema=HIT_SCHEMA)
+        )
+        if with_metrics:
+            # the kernel emits one sentinel row (doc_id = -1) per segment
+            # carrying the per-segment counters (stats analog); persist so
+            # metrics + hits are served from one execution
+            candidates = candidates.persist()
+            metrics_rows = (
+                candidates.where(F.col("doc_id") == -1)
+                .select(
+                    "segment_id", "blocks_scanned", "blocks_skipped",
+                    F.col("score").cast("int").alias("candidates"), "strategy",
+                )
+                .collect()
+            )
+            metrics_df = spark.createDataFrame(metrics_rows, _metrics_schema())
+        real = candidates.where(F.col("doc_id") >= 0)
+
+        if query.min_score is not None:
+            top = real.where(F.col("score") >= query.min_score).orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+        else:
+            top = real.orderBy(F.desc("score"), F.asc("doc_id")).limit(k_final)
+
+        hit_rows = top.select("doc_id", "score").collect()
+        hits = self._attach_identity(hit_rows)
+        if with_metrics:
+            candidates.unpersist()
+            return hits, metrics_df
+        return hits
+
+    def _restrictions(self, query: Query) -> DataFrame:
+        """Compile filter + tombstones to per-segment accept/deny doc sets —
+        the accept-bits pushdown (Q5). Distributed end to end: the sets ride
+        the cogroup, never the driver."""
+        spark = self.spark
+        parts = []
+        if query.filter_expr is not None:
+            dm = self.docmaps().where(query.filter_expr)
+            parts.append(
+                dm.select("segment_id", "doc_id", F.lit(1).alias("flag"))
+            )
+        if self.tombstones:
+            dead = sorted(self.tombstones)
+            dm = self.docmaps().where(F.col("doc_id").isin(dead))
+            parts.append(
+                dm.select("segment_id", "doc_id", F.lit(0).alias("flag"))
+            )
+        if not parts:
+            return spark.createDataFrame([], _RESTRICT_SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _attach_identity(self, hit_rows) -> DataFrame:
+        """Join winners back to the docmap (derived-source reconstruction:
+        the index stores no content, only identity + sha)."""
+        spark = self.spark
+        if not hit_rows:
+            return spark.createDataFrame([], _hits_out_schema())
+        ids = [r["doc_id"] for r in hit_rows]
+        hits = spark.createDataFrame(
+            [(r["doc_id"], float(r["score"])) for r in hit_rows],
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("score", T.DoubleType()),
+                ]
+            ),
+        )
+        dm = self.docmaps().where(F.col("doc_id").isin(ids)).select(
+            "doc_id", "repo", "path", "lang", "content_sha"
+        )
+        return (
+            hits.join(F.broadcast(dm), "doc_id", "left")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+
+def _hits_out_schema():
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("content_sha", T.StringType()),
+        ]
+    )
+
+
+def _metrics_schema():
+    return T.StructType(
+        [
+            T.StructField("segment_id", T.StringType()),
+            T.StructField("blocks_scanned", T.IntegerType()),
+            T.StructField("blocks_skipped", T.IntegerType()),
+            T.StructField("candidates", T.IntegerType()),
+            T.StructField("strategy", T.StringType()),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# the per-segment kernel (runs inside a cogrouped Arrow UDF)
+# ---------------------------------------------------------------------------
+
+def _segment_search_factory(
+    idf_map: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+    k_keep: int,
+    min_score: float | None,
+    filter_present: bool,
+    seg_docs: dict[str, int],
+    approximate_threshold: int,
+    bitmap_selectivity: float,
+):
+    def kernel(blocks: pd.DataFrame, restrict: pd.DataFrame) -> pd.DataFrame:
+        if len(blocks) == 0:
+            return _empty_hits()
+        seg = blocks["segment_id"].iloc[0]
+        allow, deny = _restriction_sets(restrict, filter_present, bitmap_selectivity)
+        if filter_present and allow is None:
+            # filter matched nothing in this segment
+            return _empty_hits()
+
+        # exact-vs-approx switch (approximate_threshold analog, Q8): tiny
+        # segments are scored brute-force — all terms essential, no skipping
+        brute = seg_docs.get(seg, 0) < approximate_threshold
+        ids, scores, scanned, skipped = _blockmax_maxscore(
+            blocks, idf_map, k1, b, avgdl, k, min_score, allow, deny, brute
+        )
+        if min_score is not None and ids.size:
+            keep = scores >= min_score
+            ids, scores = ids[keep], scores[keep]
+        n_cand = int(ids.size)
+        order = np.lexsort((ids, -scores))
+        order = order[: min(k_keep, order.size)]
+        ids, scores = ids[order], scores[order]
+        strategy = "taat" if brute else "block_max_maxscore"
+        out = pd.DataFrame(
+            {
+                "doc_id": np.concatenate((ids, [-1])),
+                "score": np.concatenate((scores, [float(n_cand)])),
+                "segment_id": seg,
+                "blocks_scanned": np.int32(scanned),
+                "blocks_skipped": np.int32(skipped),
+                "strategy": strategy,
+            }
+        )
+        return out
+
+    return kernel
+
+
+def _empty_hits():
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+            "segment_id": pd.Series(dtype="object"),
+            "blocks_scanned": pd.Series(dtype="int32"),
+            "blocks_skipped": pd.Series(dtype="int32"),
+            "strategy": pd.Series(dtype="object"),
+        }
+    )
+
+
+def _restriction_sets(restrict: pd.DataFrame, filter_present: bool, bitmap_sel: float):
+    """Accept-bits representations (FilterIdsSelector.java:29-60 analog):
+    sorted id arrays here; membership tests use np.searchsorted, which is the
+    sorted-array ("BATCH") strategy — for very dense sets the same test is
+    done via a bitmap over the segment's id range (picked in _member)."""
+    allow = deny = None
+    if len(restrict):
+        a = restrict.loc[restrict["flag"] == 1, "doc_id"].to_numpy(dtype=np.int64)
+        d = restrict.loc[restrict["flag"] == 0, "doc_id"].to_numpy(dtype=np.int64)
+        if filter_present:
+            allow = np.unique(a) if a.size else None
+        deny = np.unique(d) if d.size else None
+    elif filter_present:
+        allow = None
+    return allow, deny
+
+
+def _member(ids: np.ndarray, sset: np.ndarray) -> np.ndarray:
+    """Vectorized membership of `ids` in sorted set `sset` — bitmap when the
+    set is dense over its range, binary search otherwise (Q6 cost switch)."""
+    if sset.size == 0:
+        return np.zeros(ids.size, dtype=bool)
+    lo, hi = int(sset[0]), int(sset[-1])
+    span = hi - lo + 1
+    if span <= 4 * sset.size and span <= (1 << 26):  # dense -> bitmap
+        bm = np.zeros(span, dtype=bool)
+        bm[sset - lo] = True
+        in_range = (ids >= lo) & (ids <= hi)
+        out = np.zeros(ids.size, dtype=bool)
+        out[in_range] = bm[ids[in_range] - lo]
+        return out
+    pos = np.searchsorted(sset, ids)
+    pos = np.minimum(pos, sset.size - 1)
+    return sset[pos] == ids
+
+
+def _blockmax_maxscore(
+    blocks: pd.DataFrame,
+    idf_map: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    k: int,
+    min_score: float | None,
+    allow: np.ndarray | None,
+    deny: np.ndarray | None,
+    brute: bool,
+):
+    from pysearch.codec import decode_blocks_batch
+
+    # organize per term, blocks ascending by first_id
+    by_term = {}
+    for term, g in blocks.groupby("term", sort=False):
+        g = g.sort_values("first_id", kind="mergesort")
+        idf = idf_map.get(term)
+        if idf is None:
+            continue
+        max_tf = g["max_tf"].to_numpy(dtype=np.float64)
+        min_dl = g["min_dl"].to_numpy(dtype=np.float64)
+        block_ub = idf * max_tf / (max_tf + k1 * (1 - b + b * min_dl / avgdl))
+        by_term[term] = (g, block_ub, idf, float(block_ub.max()))
+
+    # descending max upper bound (MaxScore term order)
+    order = sorted(by_term, key=lambda t: -by_term[t][3])
+    max_ubs = np.array([by_term[t][3] for t in order])
+    suffix = np.concatenate((np.cumsum(max_ubs[::-1])[::-1], [0.0]))
+
+    cand_ids = np.empty(0, dtype=np.int64)
+    cand_scores = np.empty(0, dtype=np.float64)
+    theta = min_score if min_score is not None else -np.inf
+    scanned = skipped = 0
+
+    def contrib(tfs, dls, idf):
+        return idf * tfs / (tfs + k1 * (1 - b + b * dls / avgdl))
+
+    for i, term in enumerate(order):
+        g, block_ub, idf, _ = by_term[term]
+        rem = suffix[i + 1]
+        essential = brute or not (suffix[i] < theta)
+
+        firsts = g["first_id"].to_numpy(dtype=np.int64)
+        lasts = g["last_id"].to_numpy(dtype=np.int64)
+        ns = g["n"].to_numpy(dtype=np.int64)
+        if essential:
+            sel = np.ones(len(g), dtype=bool)
+        else:
+            # completion phase: only blocks that contain a candidate matter
+            lo = np.searchsorted(cand_ids, firsts, side="left")
+            hi = np.searchsorted(cand_ids, lasts, side="right")
+            sel = hi > lo
+        scanned += int(sel.sum())
+        skipped += int(len(g) - sel.sum())
+        if not sel.any():
+            continue
+
+        gsel = g.iloc[np.flatnonzero(sel)]
+        ids, tfs, dls = decode_blocks_batch(
+            firsts[sel],
+            lasts[sel],
+            ns[sel],
+            list(gsel["ids"]),
+            list(gsel["tfs"]),
+            list(gsel["dls"]),
+        )
+        sc = contrib(tfs.astype(np.float64), dls.astype(np.float64), idf)
+
+        if deny is not None:
+            keep = ~_member(ids, deny)
+            ids, sc = ids[keep], sc[keep]
+        if allow is not None:
+            keep = _member(ids, allow)
+            ids, sc = ids[keep], sc[keep]
+        if ids.size == 0:
+            continue
+
+        pos = np.searchsorted(cand_ids, ids)
+        pos_c = np.minimum(pos, max(cand_ids.size - 1, 0))
+        exists = (
+            (cand_ids[pos_c] == ids) if cand_ids.size else np.zeros(ids.size, dtype=bool)
+        )
+        # existing candidates: complete their exact scores (ids unique per term)
+        cand_scores[pos_c[exists]] += sc[exists]
+        if essential:
+            new_ids, new_sc = ids[~exists], sc[~exists]
+            if new_ids.size:
+                cand_ids = np.concatenate((cand_ids, new_ids))
+                cand_scores = np.concatenate((cand_scores, new_sc))
+                srt = np.argsort(cand_ids, kind="mergesort")
+                cand_ids, cand_scores = cand_ids[srt], cand_scores[srt]
+        # raise θ: k-th best partial is a lower bound on k-th best final
+        if min_score is None and cand_scores.size >= k:
+            theta = np.partition(cand_scores, cand_scores.size - k)[
+                cand_scores.size - k
+            ]
+
+    return cand_ids, cand_scores, scanned, skipped

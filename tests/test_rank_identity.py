@@ -1,0 +1,105 @@
+"""The golden gate: engine top-k RANK-IDENTICAL to the brute-force BM25
+oracle on the reference query set — the RecallTestsIT analog
+(RecallTestsIT.java:48-78 computes brute-force ground truth; our assertion
+is stronger: identical doc ids, identical order, scores within 1e-6,
+per north_rule), plus the per-row sha256 invariant (input_hint)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysearch.build import build_index
+from pysearch.config import IndexConfig
+from pysearch.corpus import assign_doc_ids
+from pysearch.fixtures import generate_queries, generate_repo_files
+from pysearch.oracle import bm25_topk
+from pysearch.query import Query, SearchIndex
+
+N_DOCS = 900
+CFG = IndexConfig(segment_rows=256, term_buckets=8, approximate_threshold=64)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("idx"))
+    corpus = generate_repo_files(spark, N_DOCS, seed=42)
+    build_index(spark, corpus, idx, CFG)
+    ids = assign_doc_ids(corpus).persist()
+    ids.count()
+    return idx, ids
+
+
+def _pairs(df):
+    return [(r["doc_id"], round(float(r["score"]), 6)) for r in df.collect()]
+
+
+def test_rank_identity_query_set(spark, built):
+    idx, ids = built
+    si = SearchIndex(spark, idx)
+    queries = [q for q in generate_queries(100, seed=42)][:20]
+    assert any(q["filter_expr"] for q in queries)
+    for q in queries:
+        eng = si.search(Query(text=q["query_text"], k=q["k"], filter_expr=q["filter_expr"]))
+        orc = bm25_topk(ids, q["query_text"], k=q["k"], filter_expr=q["filter_expr"], config=CFG)
+        assert _pairs(eng) == _pairs(orc), f"mismatch on query {q}"
+
+
+def test_min_score_radial(spark, built):
+    """Radial / score-threshold query (Q9 analog: min_score mode)."""
+    idx, ids = built
+    si = SearchIndex(spark, idx)
+    eng = si.search(Query(text="license import merge", k=None, min_score=1.0))
+    orc = bm25_topk(ids, "license import merge", k=None, min_score=1.0, config=CFG)
+    assert _pairs(eng) == _pairs(orc)
+    assert all(r["score"] >= 1.0 for r in eng.collect())
+
+
+def test_sha256_invariant(spark, built):
+    """Per-row content sha256 equality vs the source table (input_hint)."""
+    idx, ids = built
+    si = SearchIndex(spark, idx)
+    hits = si.search(Query(text="segment merge query", k=25))
+    src = ids.select("doc_id", F.sha2("content", 256).alias("src_sha"))
+    joined = hits.join(src, "doc_id")
+    assert joined.count() == hits.count()
+    assert joined.where(F.col("content_sha") != F.col("src_sha")).count() == 0
+
+
+def test_blockmax_skips_blocks(spark, tmp_path_factory):
+    """The block-max path must actually skip blocks on a hot+rare query
+    (same results, fewer blocks touched — SURVEY §7.2 step 4). Uses one big
+    segment so the hot term spans many blocks while the rare term pins few
+    candidates; then asserts rank identity is preserved anyway."""
+    from pysearch.build import build_index as _build
+
+    idx = str(tmp_path_factory.mktemp("idx_skip"))
+    cfg = IndexConfig(segment_rows=4096, term_buckets=8, approximate_threshold=4)
+    corpus = generate_repo_files(spark, N_DOCS, seed=42)
+    _build(spark, corpus, idx, cfg)
+    si = SearchIndex(spark, idx)
+    hits, metrics = si.search(Query(text="tok1500 license", k=1), with_metrics=True)
+    m = metrics.agg(
+        F.sum("blocks_skipped").alias("sk"), F.sum("blocks_scanned").alias("sc")
+    ).collect()[0]
+    assert hits.count() == 1
+    assert m["sk"] and m["sk"] > 0, f"expected skipping, got {m}"
+    ids = assign_doc_ids(corpus)
+    orc = bm25_topk(ids, "tok1500 license", k=1, config=cfg)
+    assert _pairs(hits) == _pairs(orc)
+
+
+def test_oov_and_empty_queries(spark, built):
+    idx, _ = built
+    si = SearchIndex(spark, idx)
+    assert si.search(Query(text="zzznotaword qqqalsonot", k=10)).count() == 0
+    assert si.search(Query(text="", k=10)).count() == 0
+    # mixed OOV + real term: OOV contributes nothing, real term still scores
+    assert si.search(Query(text="zzznotaword merge", k=5)).count() == 5
+
+
+def test_query_validation():
+    with pytest.raises(ValueError):
+        Query(text="x", k=None, min_score=None).validate()
+    with pytest.raises(ValueError):
+        Query(text="x", k=0).validate()
+    with pytest.raises(ValueError):
+        Query(text="x", k=20000).validate()
