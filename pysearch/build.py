@@ -167,9 +167,26 @@ def build_segment_from_df(
     )
     toks.unpersist()
 
-    # dictionary + stats from the written postings (column-pruned read-back:
-    # Parquet never materializes the binary columns here)
-    written = spark.read.parquet(meta.postings_path(segment_id))
+    manifest = finalize_segment(spark, meta, config, segment_id, source, t0, stage="build")
+    meta.append_commit(key, op="add", adds=[segment_id], extra={"source": source})
+    return manifest
+
+
+def finalize_segment(
+    spark: SparkSession,
+    meta: IndexMeta,
+    config: IndexConfig,
+    segment_id: str,
+    source: dict,
+    t0: float,
+    stage: str,
+) -> dict:
+    """Shared tail of build & merge: derive dictionary/stats/manifest/metrics
+    from the already-written postings + docmap (the VectorIndexFieldMetadata
+    write, JVectorWriter.java:512-563). Column-pruned read-back: Parquet
+    never materializes the binary columns for the aggregates."""
+    # explicit schema: a zero-posting segment (valid, M8) has no data files
+    written = spark.read.schema(BLOCK_SCHEMA).parquet(meta.postings_path(segment_id))
     dictionary = written.groupBy("term", "bucket").agg(
         F.sum("n").cast("long").alias("df"),
         F.sum("sum_tf").cast("long").alias("cf"),
@@ -221,7 +238,7 @@ def build_segment_from_df(
             "n_blocks": int(r["n_blocks"]),
             "n_postings": int(r["n_postings"]),
             "payload_bytes": int(r["payload_bytes"]),
-            "stage": "build",
+            "stage": stage,
         }
         for r in per_bucket
     ]
@@ -231,14 +248,12 @@ def build_segment_from_df(
             "n_blocks": sum(m["n_blocks"] for m in metrics),
             "n_postings": manifest["num_postings"],
             "payload_bytes": sum(m["payload_bytes"] for m in metrics),
-            "stage": "build_total",
+            "stage": stage + "_total",
             "num_docs": manifest["num_docs"],
             "wall_time_sec": time.time() - t0,
         }
     )
     meta.write_metrics(segment_id, metrics)
-
-    meta.append_commit(key, op="add", adds=[segment_id], extra={"source": source})
     return manifest
 
 

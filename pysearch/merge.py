@@ -1,0 +1,382 @@
+"""Segment merge: the reference's signature feature, re-expressed.
+
+Reference behavior being mirrored (citations into /root/reference):
+* merge driver dispatch over N segment readers       JVectorWriter.java:192-213   (M1)
+* leading-segment reuse (largest live segment's index
+  is NOT rebuilt; others are folded in)              JVectorWriter.java:752-849   (M2)
+* doc remap across merge, deleted docs dropped       JVectorWriter.java:854-987   (M3)
+* incremental merge vs full rebuild, guarded by a
+  density threshold                                  JVectorWriter.java:1166-1341,
+                                                     :695-699 (0.4 guard)         (M4)
+* compression-state reuse on merge                   JVectorWriter.java:1072-1152 (M5)
+* merges exclude deleted docs via liveDocs           JVectorWriter.java:762-806   (M6)
+* force-merge-to-1 merge policy                      ForceMergesOnlyMergePolicy.java:34-61 (M7)
+* empty merged segment still valid                   JVectorWriter.java:1013-1019 (M8)
+
+Our posting algebra makes the "leading segment" trick *total*: segments own
+disjoint doc_id ranges and blocks address docs by global id, so the union of
+two segments' posting-block sets IS the merged posting list — every input
+segment's blocks are byte-reused (file-level copy, zero decode), not just the
+leader's. That is the incremental path. The compact path (tombstone density
+above `max_tombstone_density`, or an explicit force-compact) decodes, drops
+deleted docs, and re-encodes — the "full rebuild" fallback — and clears the
+dropped tombstones so collection statistics return to exact.
+
+Deletes/updates follow the OpenSearch model: a delete is a tombstone commit
+(liveDocs analog — queries mask them immediately, stats unchanged until
+compaction); an update is delete + re-index into a fresh append segment.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pysearch.build import (
+    BLOCK_SCHEMA,
+    _encode_bucket_factory,
+    append_segment,
+    bucket_col,
+    finalize_segment,
+)
+from pysearch.checkpoint import IndexMeta
+from pysearch.config import IndexConfig
+
+_POSTING_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dl", T.LongType()),
+        T.StructField("tf", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# merge planning (M7): size-tiered + force-merge
+# ---------------------------------------------------------------------------
+
+def plan_merges(meta: IndexMeta, config: IndexConfig) -> list[list[str]]:
+    """Size-tiered planner over the manifest table: segments whose live-doc
+    counts share a log2 tier are merged once >= merge_factor of them pile up.
+    A driver-side function over tiny metadata, like the reference's
+    MergePolicy running on the IndexWriter thread."""
+    manifests = meta.live_manifests()
+    tiers: dict[int, list[str]] = {}
+    for seg, m in manifests.items():
+        if m["num_docs"] == 0:
+            tiers.setdefault(-1, []).append(seg)
+            continue
+        tiers.setdefault(int(np.log2(max(m["num_docs"], 1))), []).append(seg)
+    plans = []
+    for tier in sorted(tiers):
+        segs = sorted(tiers[tier])
+        while len(segs) >= config.merge_factor:
+            plans.append(segs[: config.merge_factor])
+            segs = segs[config.merge_factor:]
+    return plans
+
+
+def run_merge_round(spark: SparkSession, index_dir: str) -> list[str]:
+    """One background-merge round: execute the planner's picks."""
+    meta = IndexMeta(index_dir)
+    config = meta.load_config()
+    out = []
+    for group in plan_merges(meta, config):
+        out.append(merge_segments(spark, index_dir, group))
+    return out
+
+
+def force_merge(
+    spark: SparkSession, index_dir: str, max_segments: int = 1, compact: bool | None = None
+) -> list[str]:
+    """ForceMergesOnlyMergePolicy analog: merge ALL live segments down to
+    `max_segments` (default 1)."""
+    meta = IndexMeta(index_dir)
+    live = meta.live_segments()
+    if len(live) <= max_segments:
+        return live
+    groups = [sorted(live[i::max_segments]) for i in range(max_segments)]
+    return [
+        merge_segments(spark, index_dir, g, compact=compact) for g in groups if len(g) > 1
+    ] + [g[0] for g in groups if len(g) == 1]
+
+
+# ---------------------------------------------------------------------------
+# merge execution (M1-M6, M8)
+# ---------------------------------------------------------------------------
+
+def merge_segments(
+    spark: SparkSession,
+    index_dir: str,
+    seg_ids: list[str],
+    compact: bool | None = None,
+) -> str:
+    """Merge `seg_ids` into one new segment. Atomic + idempotent: the new
+    segment becomes visible (and the inputs retired) in a single commit-log
+    entry keyed by the input set, so re-running after a crash either skips
+    (already committed) or rebuilds the invisible output directory."""
+    meta = IndexMeta(index_dir)
+    config = meta.load_config()
+    seg_ids = sorted(seg_ids)
+
+    # which tombstones live inside these segments (liveDocs analog, M6)
+    dead_all = meta.tombstones()
+    docmaps = _union_docmaps(spark, meta, seg_ids)
+    if dead_all:
+        dead_here = [
+            r["doc_id"]
+            for r in docmaps.where(F.col("doc_id").isin(sorted(dead_all))).select("doc_id").collect()
+        ]
+    else:
+        dead_here = []
+    total_docs = sum(meta.read_manifest(s)["num_docs"] for s in seg_ids)
+    density = (len(dead_here) / total_docs) if total_docs else 0.0
+    if compact is None:
+        # density guard (JVectorWriter.java:695-699 analog): too many
+        # tombstones -> incremental merge is not worth it, rebuild instead
+        compact = density > config.max_tombstone_density
+
+    digest = hashlib.sha1(
+        ("|".join(seg_ids) + f"|compact={compact}").encode()
+    ).hexdigest()[:12]
+    new_seg = f"seg_m_{digest}"
+    key = f"merge_{new_seg}"
+    if meta.has_commit(key):
+        return new_seg
+
+    t0 = time.time()
+    if compact:
+        _compact_rewrite(spark, meta, config, seg_ids, new_seg, dead_here)
+    else:
+        _incremental_union(spark, meta, config, seg_ids, new_seg)
+
+    finalize_segment(
+        spark,
+        meta,
+        config,
+        new_seg,
+        source={
+            "type": "merge",
+            "inputs": seg_ids,
+            "mode": "compact" if compact else "incremental",
+            "tombstones_dropped": len(dead_here) if compact else 0,
+        },
+        t0=t0,
+        stage="merge",
+    )
+    meta.append_commit(
+        key,
+        op="replace",
+        adds=[new_seg],
+        removes=seg_ids,
+        extra={
+            "mode": "compact" if compact else "incremental",
+            "tombstones_cleared": dead_here if compact else [],
+            "merge_wall_time_sec": time.time() - t0,  # KNN_GRAPH_MERGE_TIME analog
+        },
+    )
+    return new_seg
+
+
+def _union_docmaps(spark: SparkSession, meta: IndexMeta, seg_ids: list[str]) -> DataFrame:
+    dfs = [spark.read.parquet(meta.docmap_path(s)) for s in seg_ids]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _incremental_union(spark, meta, config, seg_ids, new_seg):
+    """Incremental merge (M2/M4 analog): every input's posting blocks are
+    reused VERBATIM — a file-level copy, no decode, no re-encode. Valid
+    because segments are doc-disjoint and blocks address global doc ids, so
+    the merged posting list of a term is exactly the union of its block rows.
+    This is the posting-algebra generalization of the reference's
+    leading-segment graph reuse."""
+    os.makedirs(meta.segment_dir(new_seg), exist_ok=True)
+    dst = meta.postings_path(new_seg)
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    for si, s in enumerate(seg_ids):
+        src = meta.postings_path(s)
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                tgt_dir = os.path.join(dst, rel) if rel != "." else dst
+                os.makedirs(tgt_dir, exist_ok=True)
+                # hard-link when possible: zero-copy reuse
+                srcf, dstf = os.path.join(root, f), os.path.join(tgt_dir, f"s{si}_{f}")
+                try:
+                    os.link(srcf, dstf)
+                except OSError:
+                    shutil.copy2(srcf, dstf)
+    (
+        _union_docmaps(spark, meta, seg_ids)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(meta.docmap_path(new_seg))
+    )
+
+
+def _decode_factory():
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pysearch.codec import decode_blocks_batch
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # batch-decode runs of blocks per term: same-term blocks (even
+            # from different input segments) have disjoint ascending id
+            # ranges, so one stitched decode per term suffices
+            pdf = pdf.sort_values(["term", "first_id"], kind="mergesort")
+            outs = []
+            for term, g in pdf.groupby("term", sort=False):
+                ids, tfs, dls = decode_blocks_batch(
+                    g["first_id"].to_numpy(np.int64),
+                    g["last_id"].to_numpy(np.int64),
+                    g["n"].to_numpy(np.int64),
+                    list(g["ids"]),
+                    list(g["tfs"]),
+                    list(g["dls"]),
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": term,
+                            "doc_id": ids,
+                            "dl": dls,
+                            "tf": tfs,
+                            "bucket": np.int32(g["bucket"].iloc[0]),
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    return decode
+
+
+def _compact_rewrite(spark, meta, config, seg_ids, new_seg, dead_here):
+    """Compaction rebuild (M3/M4 fallback/M6): decode all inputs' postings,
+    drop tombstoned docs, re-encode. Global doc ids are stable (they ARE the
+    primary identity, unlike Lucene ordinals), so no renumbering is needed —
+    the docmap simply loses the dead rows; collection stats become exact
+    again. Runs distributed: decode via mapInPandas, re-encode via the same
+    bucketed applyInPandas as the build path (M5: identical compression
+    parameters are reused by construction)."""
+    os.makedirs(meta.segment_dir(new_seg), exist_ok=True)
+    blocks = [
+        spark.read.schema(BLOCK_SCHEMA).parquet(meta.postings_path(s))
+        for s in seg_ids
+    ]
+    allb = blocks[0]
+    for b in blocks[1:]:
+        allb = allb.unionByName(b)
+    rows = allb.mapInPandas(_decode_factory(), schema=_POSTING_ROW_SCHEMA)
+    if dead_here:
+        dead_df = spark.createDataFrame([(int(d),) for d in dead_here], "doc_id long")
+        rows = rows.join(F.broadcast(dead_df), "doc_id", "left_anti")
+    reenc = rows.groupBy("bucket").applyInPandas(
+        _encode_bucket_factory(config.block_size), schema=BLOCK_SCHEMA
+    )
+    reenc.write.mode("overwrite").partitionBy("bucket").parquet(
+        meta.postings_path(new_seg)
+    )
+    dm = _union_docmaps(spark, meta, seg_ids)
+    if dead_here:
+        dm = dm.where(~F.col("doc_id").isin([int(d) for d in dead_here]))
+    (
+        dm.repartition(1)
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(meta.docmap_path(new_seg))
+    )
+
+
+# ---------------------------------------------------------------------------
+# deletes & updates (tombstones; JVectorMergeWithDeletedDocsTests scenario)
+# ---------------------------------------------------------------------------
+
+def delete_docs(
+    spark: SparkSession,
+    index_dir: str,
+    key: str,
+    doc_ids: list[int] | None = None,
+    where: str | None = None,
+) -> int:
+    """Tombstone docs by id or by predicate over identity columns.
+    Queries mask them immediately; stats update at the next compaction
+    (Lucene liveDocs semantics). Idempotent per `key`."""
+    meta = IndexMeta(index_dir)
+    if meta.has_commit(f"delete_{key}"):
+        return 0
+    if doc_ids is None:
+        if where is None:
+            raise ValueError("need doc_ids or where")
+        live = meta.live_segments()
+        dms = [spark.read.parquet(meta.docmap_path(s)) for s in live]
+        dm = dms[0]
+        for d in dms[1:]:
+            dm = dm.unionByName(d)
+        doc_ids = [r["doc_id"] for r in dm.where(where).select("doc_id").collect()]
+    doc_ids = sorted(set(int(d) for d in doc_ids) - meta.tombstones())
+    meta.append_commit(f"delete_{key}", op="delete", deleted_doc_ids=doc_ids)
+    return len(doc_ids)
+
+
+def apply_updates(
+    spark: SparkSession,
+    index_dir: str,
+    updates: pd.DataFrame,
+    batch_key: str,
+) -> dict:
+    """One FIXTURES.md §3 batch: rows (op in {delete, update}, repo, path,
+    content?). update = delete old doc + index new content as an append
+    segment (the OpenSearch update model). Idempotent per batch_key."""
+    meta = IndexMeta(index_dir)
+    live = meta.live_segments()
+    dms = [spark.read.parquet(meta.docmap_path(s)) for s in live]
+    dm = dms[0]
+    for d in dms[1:]:
+        dm = dm.unionByName(d)
+
+    keys = spark.createDataFrame(updates[["repo", "path", "op"]])
+    affected = dm.join(keys, ["repo", "path"], "inner").select("doc_id", "op")
+    dead = [r["doc_id"] for r in affected.collect()]
+    n_dead = delete_docs(spark, index_dir, key=batch_key, doc_ids=dead)
+
+    upd = updates[updates["op"] == "update"]
+    new_seg = None
+    if len(upd):
+        lang_map = (
+            dm.join(
+                spark.createDataFrame(upd[["repo", "path"]]), ["repo", "path"], "inner"
+            )
+            .select("repo", "path", "lang")
+        )
+        new_rows = (
+            spark.createDataFrame(upd[["repo", "path", "content"]])
+            .join(lang_map, ["repo", "path"], "left")
+            .select(
+                "repo",
+                "path",
+                F.md5(F.concat_ws(":", "repo", "path", "content")).alias("commit"),
+                F.coalesce("lang", F.lit("unknown")).alias("lang"),
+                "content",
+            )
+        )
+        new_seg = append_segment(spark, index_dir, new_rows, key=f"upd_{batch_key}")
+    return {"tombstoned": n_dead, "append_segment": new_seg}

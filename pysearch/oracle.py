@@ -91,8 +91,11 @@ def bm25_topk(
     if filter_expr is not None:
         allowed = corpus_with_ids.where(filter_expr).select("doc_id")
         scored = scored.join(allowed, "doc_id", "left_semi")
+    # same 1e-9-rounded ranking + doc_id tiebreak as the engine (exact ties
+    # must order identically regardless of float summation order)
+    rank_score = F.round(F.col("score"), 9)
     if min_score is not None:
         return scored.where(F.col("score") >= min_score).orderBy(
-            F.desc("score"), F.asc("doc_id")
+            F.desc(rank_score), F.asc("doc_id")
         )
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return scored.orderBy(F.desc(rank_score), F.asc("doc_id")).limit(k)

@@ -123,12 +123,15 @@ class SearchIndex:
                 out.append(t)
         return out
 
-    def _read_union(self, path_fn, segments: Iterable[str]) -> DataFrame | None:
+    def _read_union(
+        self, path_fn, segments: Iterable[str], schema=None
+    ) -> DataFrame | None:
         dfs = []
         for s in segments:
-            dfs.append(
-                self.spark.read.parquet(path_fn(s)).withColumn("segment_id", F.lit(s))
-            )
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            dfs.append(reader.parquet(path_fn(s)).withColumn("segment_id", F.lit(s)))
         if not dfs:
             return None
         out = dfs[0]
@@ -185,7 +188,11 @@ class SearchIndex:
         idf_map = {t: self.idf(stats[t]) for t in terms}
         buckets = sorted({bucket_of(t, cfg.term_buckets) for t in terms})
 
-        postings = self._read_union(self.meta.postings_path, self.segments)
+        from pysearch.build import BLOCK_SCHEMA
+
+        postings = self._read_union(
+            self.meta.postings_path, self.segments, schema=BLOCK_SCHEMA
+        )
         # bucket partition-pruning + term row-group pruning at the parquet scan
         postings = postings.where(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
@@ -230,12 +237,18 @@ class SearchIndex:
             metrics_df = spark.createDataFrame(metrics_rows, _metrics_schema())
         real = candidates.where(F.col("doc_id") >= 0)
 
+        # rank by score rounded to 1e-9, ties by ascending doc_id: docs whose
+        # scores are mathematically equal can differ in the last float ulp
+        # depending on summation order (engine vs oracle) — rounding makes the
+        # tiebreak deterministic across implementations (Lucene's doc-order
+        # tiebreak analog, SURVEY §7.3 hard part (a))
+        rank_score = F.round(F.col("score"), 9)
         if query.min_score is not None:
             top = real.where(F.col("score") >= query.min_score).orderBy(
-                F.desc("score"), F.asc("doc_id")
+                F.desc(rank_score), F.asc("doc_id")
             )
         else:
-            top = real.orderBy(F.desc("score"), F.asc("doc_id")).limit(k_final)
+            top = real.orderBy(F.desc(rank_score), F.asc("doc_id")).limit(k_final)
 
         hit_rows = top.select("doc_id", "score").collect()
         hits = self._attach_identity(hit_rows)
@@ -289,7 +302,7 @@ class SearchIndex:
         )
         return (
             hits.join(F.broadcast(dm), "doc_id", "left")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
         )
 
 
