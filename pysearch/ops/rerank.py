@@ -1,0 +1,84 @@
+"""Post-retrieval processors: grouped (nested-field) retrieval and MMR
+diversification — the search-pipeline analogs.
+
+* group_top_docs — per-parent best child (the nested-field search analog,
+  NestedKnnVectorQueryFactory.java:1-77 / GroupedNestedDocIdSetIterator:
+  parent = repo/source group, child = doc): Window.partitionBy(group).
+* mmr_oversample + mmr_rerank — MMROverSampleProcessor.java:230-243 bumps
+  the fetch size to `candidates` (default 3x), MMRRerankProcessor.java:190-242
+  then greedily selects by  score = (1-λ)·relevance − λ·max_sim_to_selected
+  (docs/mmr_search.md:10-45). k is small (<= 10k) so the greedy loop runs
+  driver-side on numpy over the already-reduced candidate set — exactly like
+  the reference's coordinator-side processor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MMR_OVERSAMPLE_DEFAULT = 3  # MMROverSampleProcessor default candidates = 3x
+
+
+def group_top_docs(
+    scored: DataFrame, group_col: str, k_per_group: int = 1, score_col: str = "score"
+) -> DataFrame:
+    """Best `k_per_group` docs per group, ties by ascending doc_id."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(F.round(F.col(score_col), 9)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank_in_group", F.row_number().over(w))
+        .where(F.col("rank_in_group") <= k_per_group)
+    )
+
+
+def mmr_rerank(
+    candidates: pd.DataFrame,
+    embeddings: dict[int, np.ndarray] | pd.DataFrame,
+    k: int,
+    lam: float = 0.5,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> pd.DataFrame:
+    """Greedy Maximal-Marginal-Relevance over <= oversampled-k candidates.
+
+    candidates: pandas frame (id, relevance score), already top-(k*oversample)
+    embeddings: id -> vector (similarity space for the diversity term)
+    Returns the selected rows in MMR order with the mmr score attached.
+    """
+    if isinstance(embeddings, pd.DataFrame):
+        embeddings = {
+            int(r[id_col]): np.asarray(r["embedding"], dtype=np.float64)
+            for _, r in embeddings.iterrows()
+        }
+    cand = candidates.sort_values(
+        [score_col, id_col], ascending=[False, True]
+    ).reset_index(drop=True)
+    ids = cand[id_col].to_numpy(dtype=np.int64)
+    rel = cand[score_col].to_numpy(dtype=np.float64)
+    V = np.stack([embeddings[int(i)] for i in ids])
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    sim = V @ V.T  # pairwise-similarity cache (MMRRerankProcessor analog)
+
+    n = len(ids)
+    selected: list[int] = []
+    max_sim = np.full(n, -np.inf)
+    remaining = np.ones(n, dtype=bool)
+    for _ in range(min(k, n)):
+        if selected:
+            mmr = (1 - lam) * rel - lam * max_sim
+        else:
+            mmr = (1 - lam) * rel
+        mmr_masked = np.where(remaining, mmr, -np.inf)
+        # deterministic: best mmr, ties by doc_id ascending (ids sorted by
+        # relevance first, stable argmax picks the first = lowest-id tie)
+        pick = int(np.argmax(mmr_masked))
+        selected.append(pick)
+        remaining[pick] = False
+        max_sim = np.maximum(max_sim, sim[pick])
+    out = cand.iloc[selected].copy()
+    out["mmr_rank"] = range(1, len(selected) + 1)
+    return out.reset_index(drop=True)

@@ -1,0 +1,172 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute-force cosine top-k — the exactness baseline: blocked numpy matmuls
+  inside mapInPandas (each partition scores all queries against its shard of
+  the corpus, emits partition-local top-k), then a global window top-k.
+  One pass over the data, no cross join materialized.
+* IVF (inverted-file) top-k — the 100 TB path: deterministic k-means
+  centroids (seeded sample + Lloyd iterations on the driver — centroids are
+  tiny metadata, like the reference's PQ codebooks,
+  JVectorIndexQuantization.java:114-140), cluster assignment distributed,
+  queries probe only the nearest `nprobe` cells. Recall vs brute force is
+  asserted in pytest (the RecallTestsIT analog for the vector side).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+)
+
+
+def _normalize(X: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return X / n
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query id. Returns
+    (query_id, neighbor_id, cosine, rank) with rank 1..k, ties by neighbor id."""
+    spark = emb.sparkSession
+    qrows = emb.where(F.col(id_col).isin([int(q) for q in query_ids])).select(
+        id_col, vec
+    ).collect()
+    Q = _normalize(np.array([r[vec] for r in qrows], dtype=np.float64))
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    bq = spark.sparkContext.broadcast((qids, Q))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_ = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _normalize(np.stack(pdf[vec].to_numpy()).astype(np.float64))
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            S = Q_ @ X.T  # (nq, n)
+            if exclude_self:
+                for qi, qid in enumerate(qids_):
+                    S[qi, ids == qid] = -np.inf
+            kk = min(k, S.shape[1])
+            part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            rows = {
+                "query_id": np.repeat(qids_, kk),
+                "neighbor_id": ids[part].ravel(),
+                "cosine": np.take_along_axis(S, part, axis=1).ravel(),
+            }
+            out = pd.DataFrame(rows)
+            yield out[np.isfinite(out["cosine"])]
+
+    local = emb.select(id_col, vec).mapInPandas(score, schema=_TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 9)), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+def train_centroids(
+    emb: DataFrame,
+    nlist: int = 16,
+    iters: int = 5,
+    sample: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> np.ndarray:
+    """Deterministic mini k-means: seeded reservoir-free sample (lowest
+    hashed ids — order-independent), kmeans++-lite init, `iters` Lloyd steps
+    on the driver. Centroids are small metadata (nlist x dim)."""
+    rows = (
+        emb.select(id_col, vec)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(sample)
+        .collect()
+    )
+    X = _normalize(np.array([r[vec] for r in rows], dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(C.shape[0]):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[c] = v / n
+    return C
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: vectors are assigned to their nearest
+    centroid cell; each query scans only its `nprobe` nearest cells. The
+    candidate scan reuses the exact brute-force kernel on the reduced set."""
+    spark = emb.sparkSession
+    C = train_centroids(emb, nlist=nlist, seed=seed, id_col=id_col, vec=vec)
+    bC = spark.sparkContext.broadcast(C)
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("cell", T.IntegerType())]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cv = bC.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _normalize(np.stack(pdf[vec].to_numpy()).astype(np.float64))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cell": np.argmax(X @ Cv.T, axis=1).astype(np.int32),
+                }
+            )
+
+    cells = emb.select(id_col, vec).mapInPandas(assign, schema=schema)
+
+    qrows = emb.where(F.col(id_col).isin([int(q) for q in query_ids])).select(id_col, vec).collect()
+    Q = _normalize(np.array([r[vec] for r in qrows], dtype=np.float64))
+    probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    probe_cells = sorted({int(c) for row in probes for c in row})
+
+    cand_ids = cells.where(F.col("cell").isin(probe_cells)).select(
+        F.col("id").alias(id_col)
+    )
+    cand = emb.join(cand_ids, id_col, "left_semi")
+    return cosine_topk(cand, query_ids, k=k, id_col=id_col, vec=vec)
