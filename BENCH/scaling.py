@@ -1,0 +1,125 @@
+"""Scaling-efficiency evidence (north_rule: indexing-throughput scaling
+efficiency >= 0.8 between N and 4N executors).
+
+No real cluster exists in this sandbox, so — per BASELINE.md — cores stand in
+for executors: the IDENTICAL job (same code, same input, same config) runs in
+two fresh subprocesses at local[N] and local[4N], and
+
+    efficiency = (throughput_4N / throughput_N) / 4  =  (T_N / T_4N) / 4
+
+Run:    python BENCH/scaling.py [--n 8] [--rows 100000]
+Writes: BENCH/scaling_result.json (and prints it)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def child(cpus: int, rows: int, workdir: str) -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"pysearch-scaling-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "40g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pysearch.build import build_index
+    from pysearch.config import IndexConfig
+    from pysearch.fixtures import generate_queries, generate_repo_files
+    from pysearch.query import Query, SearchIndex
+
+    cfg = IndexConfig(segment_rows=25_000, term_buckets=32)
+    # materialize the generator once so build time measures indexing (not
+    # fixture synthesis), and warm the JVM/Arrow paths
+    corpus = generate_repo_files(spark, rows, seed=42).persist()
+    corpus.count()
+
+    t0 = time.time()
+    meta = build_index(spark, corpus, os.path.join(workdir, "idx"), cfg, concurrency=4)
+    build_sec = time.time() - t0
+    docs = sum(m["num_docs"] for m in meta.live_manifests().values())
+
+    si = SearchIndex(spark, os.path.join(workdir, "idx"))
+    qs = generate_queries(100, seed=42)[:20]
+    t0 = time.time()
+    for q in qs:
+        si.search(Query(text=q["query_text"], k=q["k"], filter_expr=q["filter_expr"])).collect()
+    query_sec = time.time() - t0
+
+    print(
+        "CHILD_RESULT "
+        + json.dumps(
+            {
+                "cpus": cpus,
+                "docs": docs,
+                "build_sec": round(build_sec, 3),
+                "build_docs_per_sec": round(docs / build_sec, 2),
+                "query_batch_sec": round(query_sec, 3),
+                "queries": len(qs),
+            }
+        )
+    )
+
+
+def run_child(cpus: int, rows: int) -> dict:
+    workdir = tempfile.mkdtemp(prefix=f"pysearch_scale_{cpus}_")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--as-child",
+             "--cpus", str(cpus), "--rows", str(rows), "--workdir", workdir],
+            capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("CHILD_RESULT "):
+                return json.loads(line[len("CHILD_RESULT "):])
+        raise RuntimeError(f"child failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--rows", type=int, default=100_000)
+    ap.add_argument("--as-child", action="store_true")
+    ap.add_argument("--cpus", type=int)
+    ap.add_argument("--workdir")
+    args = ap.parse_args()
+    if args.as_child:
+        child(args.cpus, args.rows, args.workdir)
+        return
+    lo = run_child(args.n, args.rows)
+    hi = run_child(args.n * 4, args.rows)
+    eff_build = (lo["build_sec"] / hi["build_sec"]) / 4
+    eff_query = (lo["query_batch_sec"] / hi["query_batch_sec"]) / 4
+    result = {
+        "rows": args.rows,
+        "low": lo,
+        "high": hi,
+        "build_scaling_efficiency": round(eff_build, 3),
+        "query_scaling_efficiency": round(eff_query, 3),
+    }
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling_result.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

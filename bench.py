@@ -1,0 +1,131 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": ..., "unit": "sec", "queries": {...}, "sf": ...}
+
+Covers the BASELINE.json target metrics:
+* index-build throughput (docs/sec): synthetic repo_files corpus (FIXTURES.md
+  §1 scale table: sf0.1 -> ~100k rows) + the sf documents corpus
+* BM25 top-k query latency p50 over the reference query set (FIXTURES.md §2
+  mix: single/multi-term, hot+rare, filtered) on the built index
+* pipeline ops throughput (dedup sketch, ANN top-k) on the sf tables
+
+Environment: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+$SPARK_GRAFT_CPUS (default 32). Scaling-efficiency evidence (N vs 4N cores)
+is produced by BENCH/scaling.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pysearch-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("PYSEARCH_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pysearch.build import build_index
+    from pysearch.config import IndexConfig
+    from pysearch.corpus import corpus_from_documents
+    from pysearch.fixtures import generate_queries, generate_repo_files
+    from pysearch.ops import dedup, similarity
+    from pysearch.query import Query, SearchIndex
+
+    queries_out: dict[str, float] = {}
+
+    # ---- 1) index build over the synthetic FIXTURES corpus ----------------
+    n_rows = max(int(1_000_000 * sf), 1000)  # sf0.1 -> 100k docs
+    cfg = IndexConfig(segment_rows=25_000, term_buckets=32)
+    work = tempfile.mkdtemp(prefix="pysearch_bench_")
+    idx = os.path.join(work, "idx")
+    corpus = generate_repo_files(spark, n_rows, seed=42).persist()
+    corpus.count()  # materialize fixture generation outside the build timer
+    t0 = time.time()
+    meta = build_index(spark, corpus, idx, cfg, concurrency=4)
+    build_sec = time.time() - t0
+    n_docs = sum(m["num_docs"] for m in meta.live_manifests().values())
+    queries_out["build_synthetic_corpus"] = round(build_sec, 3)
+    build_docs_per_sec = n_docs / build_sec
+
+    # ---- 2) BM25 query latency p50 over the reference query set -----------
+    si = SearchIndex(spark, idx)
+    qset = generate_queries(100, seed=42)[:30]
+    lats = []
+    for q in qset:
+        t0 = time.time()
+        si.search(
+            Query(text=q["query_text"], k=q["k"], filter_expr=q["filter_expr"])
+        ).collect()
+        lats.append(time.time() - t0)
+    p50 = statistics.median(lats)
+    p90 = sorted(lats)[int(0.9 * len(lats))]
+    queries_out["bm25_query_p50"] = round(p50, 4)
+    queries_out["bm25_query_p90"] = round(p90, 4)
+
+    # ---- 3) driver-table corpus build + entry headline queries ------------
+    t0 = time.time()
+    idx2 = os.path.join(work, "idx_docs")
+    docs_corpus = corpus_from_documents(spark, sf_dir)
+    cfg2 = IndexConfig(segment_rows=2000, term_buckets=16)
+    meta2 = build_index(spark, docs_corpus, idx2, cfg2)
+    queries_out["build_documents_corpus"] = round(time.time() - t0, 3)
+    si2 = SearchIndex(spark, idx2)
+    for name, text in [
+        ("q_single", "spark"),
+        ("q_multi", "merge join filter stream"),
+        ("q_k100", "data query group"),
+    ]:
+        t0 = time.time()
+        si2.search(Query(text=text, k=100 if name == "q_k100" else 10)).collect()
+        queries_out[name] = round(time.time() - t0, 4)
+
+    # ---- 4) pipeline ops on the sf tables ----------------------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.time()
+    dedup.minhash_lsh_pairs(docs, tau=0.95, num_hashes=64, bands=16).count()
+    queries_out["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    similarity.cosine_topk(emb, list(range(10)), k=10).count()
+    queries_out["ann_cosine_topk"] = round(time.time() - t0, 3)
+
+    shutil.rmtree(work, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bm25_query_p50_latency",
+                "value": round(p50, 4),
+                "unit": "sec",
+                "queries": queries_out,
+                "sf": sf,
+                "build_docs_per_sec": round(build_docs_per_sec, 1),
+                "built_docs": n_docs,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -75,6 +75,58 @@ def bucket_col(term_col, buckets: int):
     ).cast("int")
 
 
+TF_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dl", T.IntegerType()),
+        T.StructField("tf", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+    ]
+)
+
+
+def _tokenize_tf_factory(term_buckets: int, code_aware: bool):
+    """Fused analyzer stage: content -> tokens -> per-(doc, term) tf with the
+    doc length and the portable term bucket attached. All pandas/numpy; md5
+    bucketing is computed once per DISTINCT term per batch."""
+
+    def run(batches):
+        from pysearch.tokenize import tokenize_code_text, tokenize_text
+
+        tok = tokenize_code_text if code_aware else tokenize_text
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = pdf["content"].map(tok)
+            dl = toks.map(len).astype("int32")
+            exploded = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy().repeat(dl),
+                    "dl": dl.to_numpy().repeat(dl),
+                    "term": np.concatenate(
+                        [np.asarray(t, dtype=object) for t in toks if t] or [np.empty(0, dtype=object)]
+                    ),
+                }
+            )
+            if not len(exploded):
+                continue
+            tf = (
+                exploded.groupby(["term", "doc_id", "dl"], sort=False)
+                .size()
+                .rename("tf")
+                .reset_index()
+            )
+            uniq = tf["term"].unique()
+            bmap = {t: bucket_of(t, term_buckets) for t in uniq}
+            tf["bucket"] = tf["term"].map(bmap).astype("int32")
+            tf["tf"] = tf["tf"].astype("int64")
+            yield tf[["term", "doc_id", "dl", "tf", "bucket"]]
+
+    return run
+
+
 def _encode_bucket_factory(block_size: int):
     def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         # one group = one (segment, term-bucket); at most `segment_rows`
@@ -125,39 +177,22 @@ def build_segment_from_df(
     seg_dir = meta.segment_dir(segment_id)
     os.makedirs(seg_dir, exist_ok=True)
 
-    toks = with_tokens(
-        df_with_ids, "content", code_aware=bool(config.extra.get("code_aware"))
-    )
-    # avoid tokenizing twice (docmap pass + postings pass)
-    toks = toks.persist()
+    # a segment slice often arrives as few (or one) parquet files — fan it
+    # out so tokenization/encoding use the whole cluster, not one task
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    seg = df_with_ids.repartition(par).persist()
 
-    # docmap: doc_id -> identity + per-row content sha256 (the
-    # GraphNodeIdToDocMap + derived-source invariant: content itself is NOT
-    # stored in the index; reconstruct by joining the source table)
-    (
-        toks.select(
-            "doc_id",
-            "repo",
-            "path",
-            "commit",
-            "lang",
-            F.col("dl").cast("int").alias("dl"),
-            F.sha2(F.col("content"), 256).alias("content_sha"),
-        )
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .parquet(meta.docmap_path(segment_id))
-    )
+    # fused tokenize + per-doc tf + term-bucket pass (ONE Arrow stage, one
+    # shuffle to the encoder — the explode/groupBy pair this replaces cost a
+    # second full shuffle of raw token strings)
+    tfrows = seg.select("doc_id", "content").mapInPandas(
+        _tokenize_tf_factory(
+            config.term_buckets, bool(config.extra.get("code_aware"))
+        ),
+        schema=TF_SCHEMA,
+    ).persist()
 
-    # postings: explode -> (term, doc, dl) tf -> bucket -> block encode
-    tf = (
-        toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .withColumn("bucket", bucket_col(F.col("term"), config.term_buckets))
-    )
-    blocks = tf.groupBy("bucket").applyInPandas(
+    blocks = tfrows.groupBy("bucket").applyInPandas(
         _encode_bucket_factory(config.block_size), schema=BLOCK_SCHEMA
     )
     (
@@ -165,7 +200,30 @@ def build_segment_from_df(
         .partitionBy("bucket")
         .parquet(meta.postings_path(segment_id))
     )
-    toks.unpersist()
+
+    # docmap: doc_id -> identity + per-row content sha256 (the
+    # GraphNodeIdToDocMap + derived-source invariant: content itself is NOT
+    # stored in the index; reconstruct by joining the source table).
+    # dl = total token count = sum of tfs (docs with zero tokens -> 0).
+    dls = tfrows.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    (
+        seg.select(
+            "doc_id",
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            F.sha2(F.col("content"), 256).alias("content_sha"),
+        )
+        .join(F.broadcast(dls), "doc_id", "left")
+        .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)).cast("int"))
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(meta.docmap_path(segment_id))
+    )
+    tfrows.unpersist()
+    seg.unpersist()
 
     manifest = finalize_segment(spark, meta, config, segment_id, source, t0, stage="build")
     meta.append_commit(key, op="add", adds=[segment_id], extra={"source": source})
@@ -284,6 +342,9 @@ def build_index(
             "segment_id", F.floor(F.col("doc_id") / config.segment_rows).cast("long")
         )
         staged.write.mode("overwrite").partitionBy("segment_id").parquet(staging)
+        cached = getattr(ids, "_pysearch_cached", None)
+        if cached is not None:
+            cached.unpersist()
         n_segs = len(_staged_segments(staging))
         meta.append_commit("stage_docids", op="stage", extra={"num_segments": n_segs})
 

@@ -89,7 +89,10 @@ def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFram
             seen += len(pdf)
             yield pdf
 
-    return ranged.mapInPandas(number_partition, schema=out_schema).drop("_pid")
+    out = ranged.mapInPandas(number_partition, schema=out_schema).drop("_pid")
+    # let the caller release the pinned partitioning once ids are persisted
+    out._pysearch_cached = ranged
+    return out
 
 
 def load_repo_files(spark: SparkSession, path: str) -> DataFrame:

@@ -209,12 +209,30 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
     )
-    # exact verification restricted to candidates
-    exact = jaccard_pairs(df, tau=0.0, text=text, id_col=id_col, ngram=ngram)
+    # exact verification on CANDIDATES ONLY — O(|candidates|), never the
+    # quadratic all-pairs join: fetch both shingle sets and intersect JVM-side
+    sets = (
+        shingle_sets(df, text, id_col, ngram)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("ts"))
+    )
+    a_s = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a")
+    )
+    b_s = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b")
+    )
     return (
-        exact.join(cands, ["id_a", "id_b"], "left_semi")
+        cands.join(a_s, "id_a")
+        .join(b_s, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ts_a", "ts_b")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("ts_a") + F.size("ts_b") - F.col("inter")).cast("double"),
+        )
         .where(F.col("jaccard") >= tau)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

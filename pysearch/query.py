@@ -112,6 +112,15 @@ class SearchIndex:
         self.num_docs = sum(m["num_docs"] for m in self.manifests.values())
         self.sum_dl = sum(m["sum_dl"] for m in self.manifests.values())
         self.avgdl = (self.sum_dl / self.num_docs) if self.num_docs else 0.0
+        # reusable union DataFrames (parquet footers/plans resolved once per
+        # refresh, shared across queries — the segment-reader cache analog)
+        from pysearch.build import BLOCK_SCHEMA
+
+        self._postings_df = self._read_union(
+            self.meta.postings_path, self.segments, schema=BLOCK_SCHEMA
+        )
+        self._dictionary_df = self._read_union(self.meta.dictionary_path, self.segments)
+        self._docmaps_df = self._read_union(self.meta.docmap_path, self.segments)
 
     # -- plan helpers --------------------------------------------------------
     def _tokenize_query(self, text: str) -> list[str]:
@@ -140,7 +149,9 @@ class SearchIndex:
         return out
 
     def docmaps(self, segments: Iterable[str] | None = None) -> DataFrame:
-        return self._read_union(self.meta.docmap_path, segments or self.segments)
+        if segments is None:
+            return self._docmaps_df
+        return self._read_union(self.meta.docmap_path, segments)
 
     def global_term_stats(self, terms: list[str]) -> dict[str, int]:
         """Global df per term = Σ per-segment df (segments are doc-disjoint).
@@ -148,7 +159,7 @@ class SearchIndex:
         if not terms or not self.segments:
             return {}
         buckets = sorted({bucket_of(t, self.config.term_buckets) for t in terms})
-        d = self._read_union(self.meta.dictionary_path, self.segments)
+        d = self._dictionary_df
         rows = (
             d.where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
             .groupBy("term")
@@ -188,13 +199,8 @@ class SearchIndex:
         idf_map = {t: self.idf(stats[t]) for t in terms}
         buckets = sorted({bucket_of(t, cfg.term_buckets) for t in terms})
 
-        from pysearch.build import BLOCK_SCHEMA
-
-        postings = self._read_union(
-            self.meta.postings_path, self.segments, schema=BLOCK_SCHEMA
-        )
         # bucket partition-pruning + term row-group pruning at the parquet scan
-        postings = postings.where(
+        postings = self._postings_df.where(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
 
