@@ -55,11 +55,23 @@ def child(cpus: int, rows: int, workdir: str) -> None:
     docs = sum(m["num_docs"] for m in meta.live_manifests().values())
 
     si = SearchIndex(spark, os.path.join(workdir, "idx"))
-    qs = generate_queries(100, seed=42)[:20]
+    qs = [
+        Query(text=q["query_text"], k=q["k"], filter_expr=q["filter_expr"])
+        for q in generate_queries(100, seed=42)
+    ]
+    # warm one small batch (JVM/Arrow spin-up), then measure the full set as
+    # one distributed job — the throughput path that must scale
+    si.search_batch(qs[:2]).collect()
     t0 = time.time()
-    for q in qs:
-        si.search(Query(text=q["query_text"], k=q["k"], filter_expr=q["filter_expr"])).collect()
+    si.search_batch(qs).collect()
     query_sec = time.time() - t0
+
+    # single-query latency sample (latency is driver-bound, reported for
+    # completeness, not the scaling criterion)
+    t0 = time.time()
+    for q in qs[:10]:
+        si.search(q).collect()
+    single_sec = (time.time() - t0) / 10
 
     print(
         "CHILD_RESULT "
@@ -71,6 +83,8 @@ def child(cpus: int, rows: int, workdir: str) -> None:
                 "build_docs_per_sec": round(docs / build_sec, 2),
                 "query_batch_sec": round(query_sec, 3),
                 "queries": len(qs),
+                "batch_queries_per_sec": round(len(qs) / query_sec, 2),
+                "single_query_avg_sec": round(single_sec, 4),
             }
         )
     )

@@ -82,6 +82,17 @@ def main() -> None:
     queries_out["bm25_query_p50"] = round(p50, 4)
     queries_out["bm25_query_p90"] = round(p90, 4)
 
+    # batch retrieval throughput: the whole query set as one distributed job
+    batch_qs = [
+        Query(text=q["query_text"], k=q["k"], filter_expr=q["filter_expr"])
+        for q in generate_queries(100, seed=42)
+    ]
+    t0 = time.time()
+    si.search_batch(batch_qs).collect()
+    batch_sec = time.time() - t0
+    queries_out["bm25_batch_100_queries"] = round(batch_sec, 3)
+    batch_qps = len(batch_qs) / batch_sec
+
     # ---- 3) driver-table corpus build + entry headline queries ------------
     t0 = time.time()
     idx2 = os.path.join(work, "idx_docs")
@@ -120,6 +131,7 @@ def main() -> None:
                 "queries": queries_out,
                 "sf": sf,
                 "build_docs_per_sec": round(build_docs_per_sec, 1),
+                "batch_queries_per_sec": round(batch_qps, 2),
                 "built_docs": n_docs,
                 "cpus": cpus,
             }

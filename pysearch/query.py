@@ -121,6 +121,18 @@ class SearchIndex:
         )
         self._dictionary_df = self._read_union(self.meta.dictionary_path, self.segments)
         self._docmaps_df = self._read_union(self.meta.docmap_path, self.segments)
+        # small-index fast path: pin global term->df in driver memory (one
+        # less Spark job per query). Gated by size — a 10^12-file index has
+        # hundreds of millions of terms and stays on the pushdown path.
+        self._df_cache: dict[str, int] | None = None
+        total_terms = sum(m["num_terms"] for m in self.manifests.values())
+        if 0 < total_terms <= 2_000_000 and self._dictionary_df is not None:
+            rows = (
+                self._dictionary_df.groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            self._df_cache = {r["term"]: int(r["df"]) for r in rows}
 
     # -- plan helpers --------------------------------------------------------
     def _tokenize_query(self, text: str) -> list[str]:
@@ -158,6 +170,8 @@ class SearchIndex:
         Partition-pruned: only the term buckets of the query are read."""
         if not terms or not self.segments:
             return {}
+        if self._df_cache is not None:
+            return {t: self._df_cache[t] for t in terms if t in self._df_cache}
         buckets = sorted({bucket_of(t, self.config.term_buckets) for t in terms})
         d = self._dictionary_df
         rows = (
@@ -263,6 +277,123 @@ class SearchIndex:
             return hits, metrics_df
         return hits
 
+    def search_batch(self, queries: list[Query]) -> DataFrame:
+        """Execute MANY queries as ONE distributed job — the throughput path
+        for batch retrieval (offline evaluation, training-data joins). Per
+        segment, the kernel runs every query against the already-loaded
+        posting blocks; global per-query top-k is a single window. Returns
+        (query_id, doc_id, score) with query_id = position in `queries`.
+
+        Scaling: one postings scan for the union of all query terms, one
+        cogroup shuffle, one window — cost amortizes across queries, so
+        throughput scales with cores/executors (single-query latency is
+        driver-bound instead)."""
+        spark = self.spark
+        cfg = self.config
+        out_schema = "query_id long, doc_id long, score double"
+        if not self.segments:
+            return spark.createDataFrame([], out_schema)
+
+        qinfos = []
+        all_terms: list[str] = []
+        for qid, q in enumerate(queries):
+            q.validate()
+            terms = self._tokenize_query(q.text)
+            qinfos.append(
+                {
+                    "qid": qid,
+                    "terms": terms,
+                    "k": q.k if q.k is not None else 10_000,
+                    "min_score": q.min_score,
+                    "has_filter": q.filter_expr is not None,
+                }
+            )
+            all_terms.extend(t for t in terms if t not in all_terms)
+
+        stats = self.global_term_stats(all_terms)
+        idf_map = {t: self.idf(df) for t, df in stats.items()}
+        live_terms = [t for t in all_terms if t in stats]
+        if not live_terms:
+            return spark.createDataFrame([], out_schema)
+        for info in qinfos:
+            info["terms"] = [t for t in info["terms"] if t in stats]
+
+        buckets = sorted({bucket_of(t, cfg.term_buckets) for t in live_terms})
+        postings = self._postings_df.where(
+            F.col("bucket").isin(buckets) & F.col("term").isin(live_terms)
+        )
+
+        # per-query accept sets (+ shared tombstones under qid = -1)
+        parts = []
+        for info, q in zip(qinfos, queries):
+            if q.filter_expr is not None:
+                parts.append(
+                    self.docmaps()
+                    .where(q.filter_expr)
+                    .select(
+                        "segment_id",
+                        "doc_id",
+                        F.lit(1).alias("flag"),
+                        F.lit(info["qid"]).alias("qid"),
+                    )
+                )
+        if self.tombstones:
+            parts.append(
+                self.docmaps()
+                .where(F.col("doc_id").isin(sorted(self.tombstones)))
+                .select(
+                    "segment_id", "doc_id", F.lit(0).alias("flag"),
+                    F.lit(-1).alias("qid"),
+                )
+            )
+        restrict_schema = T.StructType(
+            _RESTRICT_SCHEMA.fields + [T.StructField("qid", T.IntegerType())]
+        )
+        restrict = parts[0] if parts else spark.createDataFrame([], restrict_schema)
+        for p in parts[1:]:
+            restrict = restrict.unionByName(p)
+
+        seg_docs = {s: self.manifests[s]["num_docs"] for s in self.segments}
+        kernel = _batch_search_factory(
+            qinfos, idf_map, cfg.k1, cfg.b, self.avgdl, cfg.overquery_factor,
+            seg_docs, cfg.approximate_threshold, cfg.filter_bitmap_selectivity,
+        )
+        cand_schema = T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        cands = (
+            postings.groupBy("segment_id")
+            .cogroup(restrict.groupBy("segment_id"))
+            .applyInPandas(kernel, schema=cand_schema)
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+        )
+        kmap = F.create_map(
+            *[x for info in qinfos for x in (F.lit(info["qid"]), F.lit(info["k"]))]
+        )
+        ranked = cands.withColumn("rk", F.row_number().over(w)).where(
+            F.col("rk") <= kmap[F.col("query_id")]
+        )
+        # min_score post-filters (already pre-pruned in-kernel)
+        ms = [i for i in qinfos if i["min_score"] is not None]
+        if ms:
+            cond = F.lit(True)
+            for i in ms:
+                cond = cond & (
+                    (F.col("query_id") != i["qid"]) | (F.col("score") >= i["min_score"])
+                )
+            ranked = ranked.where(cond)
+        return ranked.select("query_id", "doc_id", "score").orderBy(
+            "query_id", "rk"
+        )
+
     def _restrictions(self, query: Query) -> DataFrame:
         """Compile filter + tombstones to per-segment accept/deny doc sets —
         the accept-bits pushdown (Q5). Distributed end to end: the sets ride
@@ -335,6 +466,69 @@ def _metrics_schema():
             T.StructField("strategy", T.StringType()),
         ]
     )
+
+
+def _batch_search_factory(
+    qinfos, idf_map, k1, b, avgdl, overquery, seg_docs, approx_threshold, bitmap_sel
+):
+    def kernel(blocks: pd.DataFrame, restrict: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+        if len(blocks) == 0:
+            return empty
+        seg = blocks["segment_id"].iloc[0]
+        brute = seg_docs.get(seg, 0) < approx_threshold
+        deny = None
+        if len(restrict):
+            d = restrict.loc[restrict["flag"] == 0, "doc_id"].to_numpy(np.int64)
+            deny = np.unique(d) if d.size else None
+        outs = []
+        for info in qinfos:
+            if not info["terms"]:
+                continue
+            qblocks = blocks[blocks["term"].isin(info["terms"])]
+            if not len(qblocks):
+                continue
+            allow = None
+            if info["has_filter"]:
+                a = restrict.loc[
+                    (restrict["flag"] == 1) & (restrict["qid"] == info["qid"]),
+                    "doc_id",
+                ].to_numpy(np.int64)
+                if not a.size:
+                    continue
+                allow = np.unique(a)
+            ids, scores, _, _ = _blockmax_maxscore(
+                qblocks,
+                {t: idf_map[t] for t in info["terms"]},
+                k1, b, avgdl, info["k"], info["min_score"], allow, deny, brute,
+            )
+            if not ids.size:
+                continue
+            if info["min_score"] is not None:
+                keep = scores >= info["min_score"]
+                ids, scores = ids[keep], scores[keep]
+            k_keep = min(info["k"] * overquery, 10_000)
+            order = np.lexsort((ids, -scores))[:k_keep]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.int64(info["qid"]),
+                        "doc_id": ids[order],
+                        "score": scores[order],
+                    }
+                )
+            )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    return kernel
 
 
 # ---------------------------------------------------------------------------

@@ -96,6 +96,26 @@ def test_oov_and_empty_queries(spark, built):
     assert si.search(Query(text="zzznotaword merge", k=5)).count() == 5
 
 
+def test_search_batch_matches_single(spark, built):
+    """Batch retrieval (one distributed job for the whole query set) must be
+    result-identical to the per-query path."""
+    idx, _ = built
+    si = SearchIndex(spark, idx)
+    qs = [
+        Query(text=q["query_text"], k=q["k"], filter_expr=q["filter_expr"])
+        for q in generate_queries(100, seed=42)[:12]
+    ]
+    batch = si.search_batch(qs).collect()
+    by_q: dict[int, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(float(r["score"]), 6))
+        )
+    for qid, q in enumerate(qs):
+        single = _pairs(si.search(q))
+        assert by_q.get(qid, []) == single, f"batch mismatch on query {qid}"
+
+
 def test_query_validation():
     with pytest.raises(ValueError):
         Query(text="x", k=None, min_score=None).validate()

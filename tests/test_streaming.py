@@ -1,0 +1,62 @@
+"""Structured-Streaming ingestion test: file-source micro-batches become
+append segments; results match a batch build of the same corpus (the
+near-real-time refresh analog)."""
+
+import os
+
+from pysearch.build import build_index
+from pysearch.checkpoint import IndexMeta
+from pysearch.config import IndexConfig
+from pysearch.corpus import CORPUS_SCHEMA
+from pysearch.fixtures import generate_repo_files
+from pysearch.oracle import bm25_topk
+from pysearch.query import Query, SearchIndex
+from pysearch.streaming import attach_indexing_stream
+
+CFG = IndexConfig(segment_rows=512, term_buckets=8, approximate_threshold=16)
+
+
+def test_stream_ingest_matches_batch(spark, tmp_index, tmp_path):
+    corpus = generate_repo_files(spark, 240, seed=11).persist()
+    src_dir = str(tmp_path / "stream_src")
+    os.makedirs(src_dir)
+    # three "arrival" chunks
+    for i in range(3):
+        corpus.where(f"pmod(crc32(path), 3) = {i}").write.mode("overwrite").parquet(
+            f"{src_dir}/chunk={i}"
+        )
+
+    meta = IndexMeta(tmp_index)
+    meta.initialize(CFG)
+    stream = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(f"{src_dir}/chunk=*")
+    )
+    q = attach_indexing_stream(
+        stream,
+        tmp_index,
+        config=CFG,
+        merge_every=0,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    si = SearchIndex(spark, tmp_index)
+    assert si.num_docs == corpus.count()
+
+    # identical top-k semantics as a batch oracle over the same corpus,
+    # modulo doc ids (streaming assigns per-arrival ids) -> compare by path
+    hits = si.search(Query(text="license merge tok0200", k=10))
+    got = [(r["path"], round(r["score"], 6)) for r in hits.collect()]
+
+    batch_idx = str(tmp_path / "batch_idx")
+    build_index(spark, corpus, batch_idx, CFG)
+    bi = SearchIndex(spark, batch_idx)
+    exp = [
+        (r["path"], round(r["score"], 6))
+        for r in bi.search(Query(text="license merge tok0200", k=10)).collect()
+    ]
+    assert sorted(got) == sorted(exp)
+    corpus.unpersist()
