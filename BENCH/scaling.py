@@ -43,11 +43,18 @@ def child(cpus: int, rows: int, workdir: str) -> None:
     from pysearch.fixtures import generate_queries, generate_repo_files
     from pysearch.query import Query, SearchIndex
 
-    cfg = IndexConfig(segment_rows=25_000, term_buckets=32)
+    cfg = IndexConfig(segment_rows=100_000, term_buckets=32)
     # materialize the generator once so build time measures indexing (not
-    # fixture synthesis), and warm the JVM/Arrow paths
+    # fixture synthesis)
     corpus = generate_repo_files(spark, rows, seed=42).persist()
     corpus.count()
+    # warm-up: spin up every python worker + codegen cache with a small
+    # throwaway build, so the timed run measures steady-state throughput
+    # (cold-start costs scale with worker count and would punish the larger
+    # parallelism level on a short benchmark)
+    warm = generate_repo_files(spark, 4000, seed=7)
+    build_index(spark, warm, os.path.join(workdir, "warm_idx"),
+                IndexConfig(segment_rows=1000, term_buckets=32), concurrency=4)
 
     t0 = time.time()
     meta = build_index(spark, corpus, os.path.join(workdir, "idx"), cfg, concurrency=4)
@@ -110,7 +117,7 @@ def run_child(cpus: int, rows: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--rows", type=int, default=100_000)
+    ap.add_argument("--rows", type=int, default=400_000)
     ap.add_argument("--as-child", action="store_true")
     ap.add_argument("--cpus", type=int)
     ap.add_argument("--workdir")

@@ -1,0 +1,101 @@
+"""Index administration: integrity verification and the stats surface.
+
+* verify_index — the checkIntegrity analog (JVectorReader.java:84-96
+  checksums every index file): reconciles postings against dictionaries and
+  manifests, checks docmap invariants, and (optionally) re-verifies the
+  per-row content sha256 against the source-of-truth corpus (the input_hint
+  invariant, the derived-source reconstruction check).
+* stats — the /_plugins/_knn/stats analog (plugin/stats/StatNames.java:14-58,
+  RestKNNStatsHandler): every per-segment build/merge metrics row (docs,
+  postings, bytes, wall-time, per-bucket lineage) exposed as one DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysearch.checkpoint import IndexMeta
+
+
+def verify_index(
+    spark: SparkSession, index_dir: str, corpus: DataFrame | None = None
+) -> dict:
+    """Run integrity checks over all live segments; raises AssertionError on
+    the first violation, returns a summary dict when clean."""
+    from pysearch.build import BLOCK_SCHEMA
+
+    meta = IndexMeta(index_dir)
+    summary = {"segments": 0, "docs": 0, "postings": 0, "sha_checked": 0}
+    for seg in meta.live_segments():
+        m = meta.read_manifest(seg)
+        postings = spark.read.schema(BLOCK_SCHEMA).parquet(meta.postings_path(seg))
+        dictionary = spark.read.parquet(meta.dictionary_path(seg))
+        docmap = spark.read.parquet(meta.docmap_path(seg))
+
+        # postings <-> dictionary reconciliation (per term AND in total)
+        p_agg = postings.groupBy("term").agg(
+            F.sum("n").alias("df_p"), F.sum("sum_tf").alias("cf_p")
+        )
+        mismatch = (
+            p_agg.join(dictionary, "term", "full")
+            .where(
+                F.col("df_p").isNull()
+                | F.col("df").isNull()
+                | (F.col("df_p") != F.col("df"))
+                | (F.col("cf_p") != F.col("cf"))
+            )
+            .count()
+        )
+        assert mismatch == 0, f"{seg}: dictionary/postings mismatch on {mismatch} terms"
+
+        n_docs = docmap.count()
+        n_postings = dictionary.agg(F.sum("df")).collect()[0][0] or 0
+        assert n_docs == m["num_docs"], f"{seg}: docmap count != manifest"
+        assert int(n_postings) == m["num_postings"], f"{seg}: postings != manifest"
+
+        # doc ids unique within the segment & inside the manifest range
+        dup = docmap.groupBy("doc_id").count().where("count > 1").count()
+        assert dup == 0, f"{seg}: duplicate doc ids"
+        if n_docs:
+            rng = docmap.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+            assert rng[0] >= m["doc_id_min"] and rng[1] <= m["doc_id_max"], (
+                f"{seg}: doc id range outside manifest"
+            )
+
+        # per-row content sha256 vs the source table (input_hint invariant)
+        if corpus is not None:
+            src = corpus.select(
+                "repo", "path", F.sha2("content", 256).alias("src_sha")
+            )
+            bad = (
+                docmap.join(src, ["repo", "path"], "inner")
+                .where(F.col("content_sha") != F.col("src_sha"))
+                .count()
+            )
+            assert bad == 0, f"{seg}: {bad} docs fail the content sha256 invariant"
+            summary["sha_checked"] += n_docs
+
+        summary["segments"] += 1
+        summary["docs"] += n_docs
+        summary["postings"] += int(n_postings)
+    return summary
+
+
+def stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """All recorded build/merge metrics rows as one DataFrame (the stats
+    REST surface analog) — per-bucket lineage plus *_total rollups with
+    docs / postings / payload bytes / wall time."""
+    meta = IndexMeta(index_dir)
+    files = [
+        os.path.join(meta.metrics_dir, f)
+        for f in sorted(os.listdir(meta.metrics_dir))
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        return spark.createDataFrame(
+            [], "segment_id string, stage string, bucket int"
+        )
+    return spark.read.parquet(*files)

@@ -60,6 +60,7 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("max_tf", T.IntegerType()),
         T.StructField("min_dl", T.IntegerType()),
         T.StructField("sum_tf", T.LongType()),
+        T.StructField("codec", T.IntegerType()),
     ]
 )
 
@@ -127,7 +128,7 @@ def _tokenize_tf_factory(term_buckets: int, code_aware: bool):
     return run
 
 
-def _encode_bucket_factory(block_size: int):
+def _encode_bucket_factory(block_size: int, min_compress: int = 1):
     def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         # one group = one (segment, term-bucket); at most `segment_rows`
         # postings per term -> bounded memory regardless of corpus size
@@ -142,12 +143,14 @@ def _encode_bucket_factory(block_size: int):
         rows: dict[str, list] = {k: [] for k in BLOCK_SCHEMA.fieldNames()}
         for t_i, term in enumerate(uniq):
             s, e = bounds[t_i], bounds[t_i + 1]
-            for blk in encode_posting_blocks(ids[s:e], tfs[s:e], dls[s:e], block_size):
+            for blk in encode_posting_blocks(
+                ids[s:e], tfs[s:e], dls[s:e], block_size, min_compress
+            ):
                 rows["term"].append(term)
                 rows["bucket"].append(bucket)
                 for name, val in zip(
                     ["block_id", "n", "first_id", "last_id", "ids", "tfs", "dls",
-                     "max_tf", "min_dl", "sum_tf"],
+                     "max_tf", "min_dl", "sum_tf", "codec"],
                     blk,
                 ):
                     rows[name].append(val)
@@ -173,6 +176,13 @@ def build_segment_from_df(
     if meta.has_commit(key):
         return meta.read_manifest(segment_id)
 
+    debug = os.environ.get("PYSEARCH_DEBUG_TIMING")
+    marks = [("start", time.time())]
+
+    def mark(label):
+        if debug:
+            marks.append((label, time.time()))
+
     t0 = time.time()
     seg_dir = meta.segment_dir(segment_id)
     os.makedirs(seg_dir, exist_ok=True)
@@ -193,13 +203,15 @@ def build_segment_from_df(
     ).persist()
 
     blocks = tfrows.groupBy("bucket").applyInPandas(
-        _encode_bucket_factory(config.block_size), schema=BLOCK_SCHEMA
+        _encode_bucket_factory(config.block_size, config.min_block_docs),
+        schema=BLOCK_SCHEMA
     )
     (
         blocks.write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(meta.postings_path(segment_id))
     )
+    mark("postings")
 
     # docmap: doc_id -> identity + per-row content sha256 (the
     # GraphNodeIdToDocMap + derived-source invariant: content itself is NOT
@@ -224,8 +236,18 @@ def build_segment_from_df(
     )
     tfrows.unpersist()
     seg.unpersist()
+    mark("docmap")
 
     manifest = finalize_segment(spark, meta, config, segment_id, source, t0, stage="build")
+    mark("finalize")
+    if debug:
+        import sys
+
+        deltas = " ".join(
+            f"{label}={t1 - t0_:.1f}s"
+            for (_, t0_), (label, t1) in zip(marks, marks[1:])
+        )
+        print(f"[timing] {segment_id}: {deltas}", file=sys.stderr, flush=True)
     meta.append_commit(key, op="add", adds=[segment_id], extra={"source": source})
     return manifest
 

@@ -181,11 +181,31 @@ class IndexMeta:
         return os.path.join(self.staging_dir, "corpus")
 
     # -- metrics (KNNCounter / stats analog, StatNames.java:14-58) ----------
+    _METRIC_COLS = (
+        ("segment_id", "string"),
+        ("stage", "string"),
+        ("bucket", "int64"),
+        ("n_blocks", "int64"),
+        ("n_postings", "int64"),
+        ("payload_bytes", "int64"),
+        ("num_docs", "int64"),
+        ("wall_time_sec", "float64"),
+        ("ts", "float64"),
+    )
+
     def write_metrics(self, segment_id: str, rows: list[dict]) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         path = os.path.join(self.metrics_dir, f"{segment_id}.parquet")
-        stamped = [dict(r, segment_id=segment_id, ts=time.time()) for r in rows]
-        pq.write_table(pa.Table.from_pylist(stamped), path + ".tmp")
+        now = time.time()
+        schema = pa.schema([(n, t) for n, t in self._METRIC_COLS])
+        stamped = [
+            {
+                name: dict(r, segment_id=segment_id, ts=now).get(name)
+                for name, _ in self._METRIC_COLS
+            }
+            for r in rows
+        ]
+        pq.write_table(pa.Table.from_pylist(stamped, schema=schema), path + ".tmp")
         os.replace(path + ".tmp", path)

@@ -87,95 +87,171 @@ def varint_decode(buf: bytes, n: int) -> np.ndarray:
 # posting blocks
 # ---------------------------------------------------------------------------
 
+CODEC_VARINT = 0  # delta-gap + LEB128 (the "quantized" tier)
+CODEC_RAW = 1     # raw little-endian arrays (the "full precision" tier)
+
+
 def encode_posting_blocks(
     ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
     block_size: int,
+    min_compress_postings: int = 1,
 ):
-    """Split a posting list into compressed blocks (sorted by id here).
+    """Split a posting list into blocks (sorted by id here).
 
     Returns one tuple per block:
     (block_id, n, first_id, last_id, ids_bytes, tfs_bytes, dls_bytes,
-     max_tf, min_dl, sum_tf).
+     max_tf, min_dl, sum_tf, codec).
     Doc lengths are stored in-block (denormalized norms, the Lucene-norms
     analog) so the query path scores from postings alone.
+
+    Compression-tier policy (the minimumBatchSizeForQuantization analog,
+    JVectorWriter.java:263-283: tiny vector batches skip PQ): posting lists
+    shorter than `min_compress_postings` are stored as raw int64/int32
+    arrays (CODEC_RAW) — not worth the varint work; longer lists get
+    delta-gap + varint blocks (CODEC_VARINT). Both carry identical block-max
+    metadata, so the query path is codec-agnostic above the decoder.
     """
     order = np.argsort(ids, kind="stable")
     ids = np.asarray(ids, dtype=np.int64)[order]
     tfs = np.asarray(tfs, dtype=np.int64)[order]
     dls = np.asarray(dls, dtype=np.int64)[order]
     n = ids.size
+    codec = CODEC_RAW if n < min_compress_postings else CODEC_VARINT
     out = []
     for b0 in range(0, n, block_size):
         sl = slice(b0, min(b0 + block_size, n))
         bids, btfs, bdls = ids[sl], tfs[sl], dls[sl]
-        deltas = np.diff(bids).astype(np.uint64)  # strictly increasing ids
+        if codec == CODEC_VARINT:
+            deltas = np.diff(bids).astype(np.uint64)  # strictly increasing
+            enc = (
+                varint_encode(deltas),
+                varint_encode(btfs.astype(np.uint64)),
+                varint_encode(bdls.astype(np.uint64)),
+            )
+        else:
+            enc = (
+                bids[1:].astype("<i8").tobytes(),
+                btfs.astype("<i4").tobytes(),
+                bdls.astype("<i4").tobytes(),
+            )
         out.append(
             (
                 b0 // block_size,
                 int(bids.size),
                 int(bids[0]),
                 int(bids[-1]),
-                varint_encode(deltas),
-                varint_encode(btfs.astype(np.uint64)),
-                varint_encode(bdls.astype(np.uint64)),
+                enc[0],
+                enc[1],
+                enc[2],
                 int(btfs.max()),
                 int(bdls.min()),
                 int(btfs.sum()),
+                codec,
             )
         )
     return out
 
 
-def decode_block_dls(n: int, dls_buf: bytes) -> np.ndarray:
-    return varint_decode(dls_buf, n).astype(np.int64)
+
+def decode_block_ids(first_id: int, n: int, ids_buf: bytes, codec: int = CODEC_VARINT) -> np.ndarray:
+    """Inverse of the id half of `encode_posting_blocks` for one block."""
+    ids = np.empty(n, dtype=np.int64)
+    ids[0] = first_id
+    if n > 1:
+        if codec == CODEC_VARINT:
+            deltas = varint_decode(ids_buf, n - 1).astype(np.int64)
+            np.cumsum(deltas, out=ids[1:])
+            ids[1:] += first_id
+        else:
+            ids[1:] = np.frombuffer(ids_buf, dtype="<i8")
+    return ids
 
 
-def decode_blocks_batch(first_ids, last_ids, ns, ids_bufs, tfs_bufs, dls_bufs):
+def decode_block_tfs(n: int, tfs_buf: bytes, codec: int = CODEC_VARINT) -> np.ndarray:
+    if codec == CODEC_VARINT:
+        return varint_decode(tfs_buf, n).astype(np.int64)
+    return np.frombuffer(tfs_buf, dtype="<i4").astype(np.int64)
+
+
+def decode_block_dls(n: int, dls_buf: bytes, codec: int = CODEC_VARINT) -> np.ndarray:
+    if codec == CODEC_VARINT:
+        return varint_decode(dls_buf, n).astype(np.int64)
+    return np.frombuffer(dls_buf, dtype="<i4").astype(np.int64)
+
+
+def decode_blocks_batch(first_ids, last_ids, ns, ids_bufs, tfs_bufs, dls_bufs, codecs=None):
     """Decode MANY blocks of one term in a single vectorized pass.
 
     Blocks must be in ascending id order (their id ranges are disjoint by
-    construction). Returns (ids, tfs, dls) int64 arrays of total length
-    sum(ns). The id reconstruction uses one global cumsum: the delta at each
-    block start is ``first_id[j] - last_id[j-1]`` (> 0), so a single
-    ``np.cumsum`` over the stitched delta stream yields all ids — no
-    per-block Python loop.
+    construction); codecs may be mixed (merged segments can carry both
+    tiers). Returns (ids, tfs, dls) int64 arrays of total length sum(ns).
+    Per codec tier the decode is fully batched: for varint blocks the id
+    reconstruction uses one global cumsum — the delta at each block start is
+    ``first_id[j] - last_id[j-1]`` of the previous block in the SAME tier
+    (> 0 because block ranges ascend) — no per-block Python loop.
     """
     first_ids = np.asarray(first_ids, dtype=np.int64)
     last_ids = np.asarray(last_ids, dtype=np.int64)
     ns = np.asarray(ns, dtype=np.int64)
+    nblocks = ns.size
+    if codecs is None:
+        codecs = np.zeros(nblocks, dtype=np.int64)
+    else:
+        codecs = np.asarray(codecs, dtype=np.int64)
     total = int(ns.sum())
     if total == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), z.copy()
     starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
 
-    deltas = varint_decode(b"".join(ids_bufs), int((ns - 1).sum()))
-    delta_full = np.empty(total, dtype=np.int64)
-    # non-start positions get the in-block deltas, in order
-    mask = np.ones(total, dtype=bool)
-    mask[starts] = False
-    delta_full[mask] = deltas.astype(np.int64)
-    delta_full[starts[0]] = first_ids[0]
-    delta_full[starts[1:]] = first_ids[1:] - last_ids[:-1]
-    ids = np.cumsum(delta_full)
+    ids = np.empty(total, dtype=np.int64)
+    tfs = np.empty(total, dtype=np.int64)
+    dls = np.empty(total, dtype=np.int64)
 
-    tfs = varint_decode(b"".join(tfs_bufs), total).astype(np.int64)
-    dls = varint_decode(b"".join(dls_bufs), total).astype(np.int64)
+    def positions(sel: np.ndarray) -> np.ndarray:
+        """Flat output positions covered by the selected blocks, in order."""
+        reps = ns[sel]
+        offs = np.repeat(starts[sel], reps)
+        intra = np.arange(int(reps.sum())) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+        )
+        return offs + intra
+
+    for codec in np.unique(codecs):
+        sel = codecs == codec
+        f, l, nn = first_ids[sel], last_ids[sel], ns[sel]
+        sub_total = int(nn.sum())
+        sub_starts = np.concatenate(([0], np.cumsum(nn)[:-1]))
+        ib = [b for b, s in zip(ids_bufs, sel) if s]
+        tb = [b for b, s in zip(tfs_bufs, sel) if s]
+        db = [b for b, s in zip(dls_bufs, sel) if s]
+        if codec == CODEC_VARINT:
+            deltas = varint_decode(b"".join(ib), int((nn - 1).sum()))
+            delta_full = np.empty(sub_total, dtype=np.int64)
+            mask = np.ones(sub_total, dtype=bool)
+            mask[sub_starts] = False
+            delta_full[mask] = deltas.astype(np.int64)
+            delta_full[sub_starts[0]] = f[0]
+            delta_full[sub_starts[1:]] = f[1:] - l[:-1]
+            sub_ids = np.cumsum(delta_full)
+            sub_tfs = varint_decode(b"".join(tb), sub_total).astype(np.int64)
+            sub_dls = varint_decode(b"".join(db), sub_total).astype(np.int64)
+        else:
+            sub_ids = np.empty(sub_total, dtype=np.int64)
+            rest = np.frombuffer(b"".join(ib), dtype="<i8")
+            mask = np.ones(sub_total, dtype=bool)
+            mask[sub_starts] = False
+            sub_ids[mask] = rest
+            sub_ids[sub_starts] = f
+            sub_tfs = np.frombuffer(b"".join(tb), dtype="<i4").astype(np.int64)
+            sub_dls = np.frombuffer(b"".join(db), dtype="<i4").astype(np.int64)
+        if sel.all():
+            ids[:], tfs[:], dls[:] = sub_ids, sub_tfs, sub_dls
+        else:
+            pos = positions(sel)
+            ids[pos] = sub_ids
+            tfs[pos] = sub_tfs
+            dls[pos] = sub_dls
     return ids, tfs, dls
-
-
-def decode_block_ids(first_id: int, n: int, ids_buf: bytes) -> np.ndarray:
-    """Inverse of the id half of `encode_posting_blocks` for one block."""
-    ids = np.empty(n, dtype=np.int64)
-    ids[0] = first_id
-    if n > 1:
-        deltas = varint_decode(ids_buf, n - 1).astype(np.int64)
-        np.cumsum(deltas, out=ids[1:])
-        ids[1:] += first_id
-    return ids
-
-
-def decode_block_tfs(n: int, tfs_buf: bytes) -> np.ndarray:
-    return varint_decode(tfs_buf, n).astype(np.int64)

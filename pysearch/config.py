@@ -33,11 +33,10 @@ class IndexConfig:
     # block-max metadata used for WAND upper bounds (the "approximate PQ
     # score" analog of JVectorReader.java:353-366).
     block_size: int = 128
-    # segments/terms below this many postings stay trivially encoded —
-    # mirrors minimumBatchSizeForQuantization=1024 (JVectorWriter.java:263-283):
-    # tiny data isn't worth compressing. We still use the same varint frame
-    # for simplicity; this knob gates the *block-max search* path instead.
-    min_block_docs: int = 1
+    # posting lists below this many postings stay RAW (uncompressed arrays,
+    # CODEC_RAW) — mirrors minimumBatchSizeForQuantization=1024
+    # (JVectorWriter.java:263-283): tiny batches skip the compression tier.
+    min_block_docs: int = 8
 
     # --- term dictionary layout ---
     # postings are hash-partitioned into `term_buckets` directory partitions

@@ -252,6 +252,7 @@ def _decode_factory():
                     list(g["ids"]),
                     list(g["tfs"]),
                     list(g["dls"]),
+                    g["codec"].to_numpy(np.int64),
                 )
                 outs.append(
                     pd.DataFrame(
@@ -290,7 +291,8 @@ def _compact_rewrite(spark, meta, config, seg_ids, new_seg, dead_here):
         dead_df = spark.createDataFrame([(int(d),) for d in dead_here], "doc_id long")
         rows = rows.join(F.broadcast(dead_df), "doc_id", "left_anti")
     reenc = rows.groupBy("bucket").applyInPandas(
-        _encode_bucket_factory(config.block_size), schema=BLOCK_SCHEMA
+        _encode_bucket_factory(config.block_size, config.min_block_docs),
+        schema=BLOCK_SCHEMA,
     )
     reenc.write.mode("overwrite").partitionBy("bucket").parquet(
         meta.postings_path(new_seg)

@@ -99,3 +99,65 @@ def bm25_topk(
             F.desc(rank_score), F.asc("doc_id")
         )
     return scored.orderBy(F.desc(rank_score), F.asc("doc_id")).limit(k)
+
+
+def custom_score_topk(
+    corpus_with_ids: DataFrame,
+    query_text: str,
+    score_fn,
+    k: int = 10,
+    filter_expr: str | None = None,
+    config: IndexConfig | None = None,
+) -> DataFrame:
+    """User-pluggable exact scoring — the script-score analog
+    (plugin/script/KNNScoringScriptEngine.java:20-35, KNNScoringUtil.java:
+    100-411: arbitrary kernels evaluated exactly per candidate doc).
+
+    `score_fn(tf, df, dl, n_docs, avgdl) -> Column` builds the per-(doc,
+    term) contribution from Spark Columns; contributions are summed per doc.
+    Because the hook is a Column EXPRESSION (not a UDF), Catalyst codegens it
+    — the fast path for custom ranking. Example (pure TF scoring):
+
+        custom_score_topk(df, "spark merge",
+                          lambda tf, df_, dl, n, avg: tf / (tf + 1.0))
+    """
+    config = config or IndexConfig()
+    code_aware = bool(config.extra.get("code_aware"))
+    qfn = tokenize_code_text if code_aware else tokenize_text
+    terms = list(dict.fromkeys(qfn(query_text)))
+    toks = with_tokens(corpus_with_ids, "content", code_aware=code_aware)
+    row = toks.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    if not terms or n_docs == 0:
+        return corpus_with_ids.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    posting = toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
+    tf = (
+        posting.where(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .withColumn(
+            "part",
+            score_fn(
+                F.col("tf"),
+                F.col("df").cast("double"),
+                F.col("dl").cast("double"),
+                F.lit(float(n_docs)),
+                F.lit(avgdl),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+    if filter_expr is not None:
+        scored = scored.join(
+            corpus_with_ids.where(filter_expr).select("doc_id"), "doc_id", "left_semi"
+        )
+    return scored.orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    ).limit(k)

@@ -702,6 +702,7 @@ def _blockmax_maxscore(
             list(gsel["ids"]),
             list(gsel["tfs"]),
             list(gsel["dls"]),
+            gsel["codec"].to_numpy(np.int64),
         )
         sc = contrib(tfs.astype(np.float64), dls.astype(np.float64), idf)
 

@@ -41,11 +41,11 @@ def test_block_roundtrip(n, block_size):
     blocks = encode_posting_blocks(ids, tfs, dls, block_size)
     got_ids, got_tfs, got_dls = [], [], []
     for blk in blocks:
-        block_id, bn, first, last, ib, tb, db, max_tf, min_dl, sum_tf = blk
-        bids = decode_block_ids(first, bn, ib)
+        block_id, bn, first, last, ib, tb, db, max_tf, min_dl, sum_tf, codec = blk
+        bids = decode_block_ids(first, bn, ib, codec)
         assert bids[0] == first and bids[-1] == last
-        btfs = decode_block_tfs(bn, tb)
-        bdls = decode_block_dls(bn, db)
+        btfs = decode_block_tfs(bn, tb, codec)
+        bdls = decode_block_dls(bn, db, codec)
         assert max_tf == btfs.max() and min_dl == bdls.min() and sum_tf == btfs.sum()
         got_ids += bids.tolist()
         got_tfs += btfs.tolist()
@@ -71,13 +71,45 @@ def test_batch_decode_matches_per_block():
         [b[4] for b in sub],
         [b[5] for b in sub],
         [b[6] for b in sub],
+        [b[10] for b in sub],
     )
-    exp_ids = np.concatenate([decode_block_ids(b[2], b[1], b[4]) for b in sub])
-    exp_tfs = np.concatenate([decode_block_tfs(b[1], b[5]) for b in sub])
-    exp_dls = np.concatenate([decode_block_dls(b[1], b[6]) for b in sub])
+    exp_ids = np.concatenate([decode_block_ids(b[2], b[1], b[4], b[10]) for b in sub])
+    exp_tfs = np.concatenate([decode_block_tfs(b[1], b[5], b[10]) for b in sub])
+    exp_dls = np.concatenate([decode_block_dls(b[1], b[6], b[10]) for b in sub])
     assert (g_ids == exp_ids).all() and (g_tfs == exp_tfs).all() and (g_dls == exp_dls).all()
 
 
 def test_empty():
     assert varint_encode(np.empty(0, dtype=np.uint64)) == b""
     assert varint_decode(b"", 0).size == 0
+
+
+def test_codec_tiers_mixed_batch_decode():
+    """Raw tier for short lists (the quantization-threshold analog) and
+    mixed-tier batched decode (merged segments can interleave tiers)."""
+    from pysearch.codec import CODEC_RAW, CODEC_VARINT
+
+    rng = np.random.default_rng(3)
+    short = encode_posting_blocks(
+        np.array([5, 9, 12]), np.array([1, 2, 3]), np.array([10, 20, 30]),
+        block_size=128, min_compress_postings=8,
+    )
+    assert all(b[-1] == CODEC_RAW for b in short)
+    n = 500
+    ids = np.sort(rng.choice(100000, size=n, replace=False)).astype(np.int64)
+    longb = encode_posting_blocks(
+        ids, rng.integers(1, 9, n), rng.integers(20, 99, n),
+        block_size=64, min_compress_postings=8,
+    )
+    assert all(b[-1] == CODEC_VARINT for b in longb)
+    # interleave: raw blocks first (ids 5..12 < long ids? ensure ordering)
+    mixed = short + longb if short[0][2] < longb[0][2] else longb + short
+    g_ids, g_tfs, g_dls = decode_blocks_batch(
+        [b[2] for b in mixed], [b[3] for b in mixed], [b[1] for b in mixed],
+        [b[4] for b in mixed], [b[5] for b in mixed], [b[6] for b in mixed],
+        [b[10] for b in mixed],
+    )
+    exp_ids = np.concatenate([decode_block_ids(b[2], b[1], b[4], b[10]) for b in mixed])
+    exp_tfs = np.concatenate([decode_block_tfs(b[1], b[5], b[10]) for b in mixed])
+    exp_dls = np.concatenate([decode_block_dls(b[1], b[6], b[10]) for b in mixed])
+    assert (g_ids == exp_ids).all() and (g_tfs == exp_tfs).all() and (g_dls == exp_dls).all()
