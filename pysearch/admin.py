@@ -84,6 +84,46 @@ def verify_index(
     return summary
 
 
+def global_dictionary(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Global term statistics (df, cf, segments) rolled up across every live
+    segment dictionary with EXPLICIT two-phase salted aggregation
+    (north_rule skew requirement).
+
+    Why salt here: a boilerplate term ("license", "import") appears in EVERY
+    segment's dictionary, so at 10^12-file scale (10^7 segments) the final
+    groupBy(term) funnels 10^7 rows into one reducer key. Phase 1 aggregates
+    (term, salt) — spreading each hot key over `salt_buckets` reducers —
+    phase 2 combines the tiny per-salt partials. (Catalyst's map-side partial
+    aggregation helps only when the mapper sees many rows of the key; the
+    salt guards the reduce side regardless of input layout.)
+    """
+    meta = IndexMeta(index_dir)
+    config = meta.load_config()
+    live = meta.live_segments()
+    if not live:
+        return spark.createDataFrame([], "term string, df long, cf long, segments long")
+    d = None
+    for seg in live:
+        x = spark.read.parquet(meta.dictionary_path(seg))
+        d = x if d is None else d.unionByName(x)
+    salted = (
+        d.withColumn(
+            "salt", F.pmod(F.crc32(F.col("term")) + F.spark_partition_id(), F.lit(config.salt_buckets))
+        )
+        .groupBy("term", "salt")
+        .agg(
+            F.sum("df").alias("df_p"),
+            F.sum("cf").alias("cf_p"),
+            F.count(F.lit(1)).alias("seg_p"),
+        )
+    )
+    return salted.groupBy("term").agg(
+        F.sum("df_p").cast("long").alias("df"),
+        F.sum("cf_p").cast("long").alias("cf"),
+        F.sum("seg_p").cast("long").alias("segments"),
+    )
+
+
 def stats(spark: SparkSession, index_dir: str) -> DataFrame:
     """All recorded build/merge metrics rows as one DataFrame (the stats
     REST surface analog) — per-bucket lineage plus *_total rollups with

@@ -218,6 +218,10 @@ def build_segment_from_df(
     # stored in the index; reconstruct by joining the source table).
     # dl = total token count = sum of tfs (docs with zero tokens -> 0).
     dls = tfrows.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    # doc_id-range-partitioned, sorted files: row-group pruning on doc_id
+    # works AND the sha256 + write runs parallel (a single-file docmap was a
+    # measurable serial bottleneck in the scaling benchmark)
+    docmap_files = max(par // 4, 1)
     (
         seg.select(
             "doc_id",
@@ -229,7 +233,7 @@ def build_segment_from_df(
         )
         .join(F.broadcast(dls), "doc_id", "left")
         .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)).cast("int"))
-        .repartition(1)
+        .repartitionByRange(docmap_files, "doc_id")
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
         .parquet(meta.docmap_path(segment_id))
@@ -283,35 +287,35 @@ def finalize_segment(
         F.min("doc_id").alias("doc_min"),
         F.max("doc_id").alias("doc_max"),
     ).collect()[0]
-    dict_stats = spark.read.parquet(meta.dictionary_path(segment_id)).agg(
-        F.count(F.lit(1)).alias("num_terms"), F.sum("df").alias("num_postings")
-    ).collect()[0]
-
-    manifest = {
-        "segment_id": segment_id,
-        "num_docs": int(doc_stats["num_docs"]),
-        "sum_dl": int(doc_stats["sum_dl"] or 0),
-        "doc_id_min": int(doc_stats["doc_min"]) if doc_stats["doc_min"] is not None else -1,
-        "doc_id_max": int(doc_stats["doc_max"]) if doc_stats["doc_max"] is not None else -1,
-        "num_terms": int(dict_stats["num_terms"]),
-        "num_postings": int(dict_stats["num_postings"] or 0),
-        "config_fingerprint": config.fingerprint(),
-        "source": source,
-    }
-    meta.write_manifest(segment_id, manifest)
-
-    # per-bucket lineage/metrics (KNNCounter analog: docs/postings/bytes/time)
+    # one pass over the postings serves dictionary totals AND the per-bucket
+    # lineage (term -> bucket is functional, so per-bucket distinct-term
+    # counts sum to the segment total)
     per_bucket = (
         written.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_blocks"),
             F.sum("n").alias("n_postings"),
+            F.countDistinct("term").alias("n_terms"),
             (
                 F.sum(F.length("ids")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))
             ).alias("payload_bytes"),
         )
         .collect()
     )
+    manifest = {
+        "segment_id": segment_id,
+        "num_docs": int(doc_stats["num_docs"]),
+        "sum_dl": int(doc_stats["sum_dl"] or 0),
+        "doc_id_min": int(doc_stats["doc_min"]) if doc_stats["doc_min"] is not None else -1,
+        "doc_id_max": int(doc_stats["doc_max"]) if doc_stats["doc_max"] is not None else -1,
+        "num_terms": int(sum(r["n_terms"] for r in per_bucket)),
+        "num_postings": int(sum(r["n_postings"] for r in per_bucket)),
+        "config_fingerprint": config.fingerprint(),
+        "source": source,
+    }
+    meta.write_manifest(segment_id, manifest)
+
+    # per-bucket lineage/metrics (KNNCounter analog: docs/postings/bytes/time)
     metrics = [
         {
             "bucket": int(r["bucket"]),

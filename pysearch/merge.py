@@ -225,7 +225,7 @@ def _incremental_union(spark, meta, config, seg_ids, new_seg):
                     shutil.copy2(srcf, dstf)
     (
         _union_docmaps(spark, meta, seg_ids)
-        .repartition(1)
+        .repartitionByRange(4, "doc_id")
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
         .parquet(meta.docmap_path(new_seg))
@@ -301,7 +301,7 @@ def _compact_rewrite(spark, meta, config, seg_ids, new_seg, dead_here):
     if dead_here:
         dm = dm.where(~F.col("doc_id").isin([int(d) for d in dead_here]))
     (
-        dm.repartition(1)
+        dm.repartitionByRange(4, "doc_id")
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
         .parquet(meta.docmap_path(new_seg))
