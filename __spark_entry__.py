@@ -305,6 +305,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return feats.select("doc_id", "n_bytes", "head_hex")
 
     q["multimodal_features"] = mm
+
+    # ---- custom scoring hook (Q12: the script_score analog) ---------------
+    def custom(s, d):
+        from pysearch.oracle import custom_score_topk
+
+        docs = _docs(s, d).select(
+            "doc_id", F.lit("r").alias("repo"), F.lit("p").alias("path"),
+            F.lit("c").alias("commit"), "lang", F.col("text").alias("content"),
+        )
+        # TF-saturation kernel: score = sum tf/(tf+1)
+        out = custom_score_topk(
+            docs, Q_MULTI, lambda tf, df, dl, n, avg: tf / (tf + F.lit(1.0)), k=20
+        )
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    q["custom_score_tf_saturation"] = custom
+
+    # ---- salted global term stats (skew-safe dictionary rollup) -----------
+    def gdict(s, d):
+        from pysearch.admin import global_dictionary
+
+        idx = _ensure_index(s, d)
+        gd = global_dictionary(s, idx)
+        hot = ["spark", "merge", "join", "data", "query", "the", "row", "table"]
+        return gd.where(F.col("term").isin(hot)).select(
+            "term", F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+        )
+
+    q["global_term_stats"] = gdict
     return q
 
 
@@ -441,6 +471,29 @@ SELECT query_id, neighbor_id, rank FROM (
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        lower(hex(encode(substr(text, 1, 8)))) AS head_hex
 FROM documents
+"""
+    o["custom_score_tf_saturation"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tok}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+  WHERE term IN ('merge', 'join', 'filter', 'stream') GROUP BY doc_id, term
+),
+scored AS (
+  SELECT doc_id, sum(tf / (tf + 1.0)) AS s FROM tf GROUP BY doc_id
+)
+SELECT doc_id, CAST(round(s, 4) AS DOUBLE) AS score
+FROM scored ORDER BY round(s, 9) DESC, doc_id ASC LIMIT 20
+"""
+    o["global_term_stats"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tok}) AS term FROM documents
+)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM tok
+WHERE term IN ('spark','merge','join','data','query','the','row','table')
+GROUP BY term
 """
     # rows-only (non-SQL-expressible or sketch-dependent):
     #   mmr_rerank_topk, text_winnow_fingerprint, dedup_minhash_lsh,
