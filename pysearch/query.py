@@ -323,20 +323,32 @@ class SearchIndex:
             F.col("bucket").isin(buckets) & F.col("term").isin(live_terms)
         )
 
-        # per-query accept sets (+ shared tombstones under qid = -1)
+        # per-query accept sets (+ shared tombstones under qid = -1): ALL
+        # filters evaluate in ONE docmap pass — each row emits the array of
+        # query ids whose predicate it satisfies, then explodes (Q docmap
+        # scans collapsed into one; predicates are codegen'd side by side)
         parts = []
-        for info, q in zip(qinfos, queries):
-            if q.filter_expr is not None:
-                parts.append(
-                    self.docmaps()
-                    .where(q.filter_expr)
-                    .select(
-                        "segment_id",
-                        "doc_id",
-                        F.lit(1).alias("flag"),
-                        F.lit(info["qid"]).alias("qid"),
-                    )
+        filtered = [
+            (info["qid"], q.filter_expr)
+            for info, q in zip(qinfos, queries)
+            if q.filter_expr is not None
+        ]
+        if filtered:
+            matches = F.array_compact(
+                F.array(
+                    *[
+                        F.when(F.expr(expr), F.lit(qid)).otherwise(F.lit(None))
+                        for qid, expr in filtered
+                    ]
                 )
+            )
+            parts.append(
+                self.docmaps()
+                .select(
+                    "segment_id", "doc_id", F.lit(1).alias("flag"),
+                    F.explode(matches).alias("qid"),
+                )
+            )
         if self.tombstones:
             parts.append(
                 self.docmaps()
