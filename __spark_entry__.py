@@ -344,7 +344,7 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     def toks(t: str) -> list[str]:
-        from pysearch.tokenize import tokenize_text
+        from pysearch.analyze import tokenize_text
 
         return list(dict.fromkeys(tokenize_text(t)))
 

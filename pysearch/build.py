@@ -44,7 +44,7 @@ from pysearch.checkpoint import IndexMeta
 from pysearch.codec import encode_posting_blocks
 from pysearch.config import IndexConfig
 from pysearch.corpus import assign_doc_ids
-from pysearch.tokenize import with_tokens
+from pysearch.analyze import with_tokens
 
 BLOCK_SCHEMA = T.StructType(
     [
@@ -93,7 +93,7 @@ def _tokenize_tf_factory(term_buckets: int, code_aware: bool):
     bucketing is computed once per DISTINCT term per batch."""
 
     def run(batches):
-        from pysearch.tokenize import tokenize_code_text, tokenize_text
+        from pysearch.analyze import tokenize_code_text, tokenize_text
 
         tok = tokenize_code_text if code_aware else tokenize_text
 

@@ -96,8 +96,23 @@ def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFram
 
 
 def load_repo_files(spark: SparkSession, path: str) -> DataFrame:
-    """Read a repo_files parquet/Iceberg table with the canonical schema."""
+    """Read a repo_files parquet table with the canonical schema."""
     return spark.read.schema(CORPUS_SCHEMA).parquet(path)
+
+
+def load_repo_files_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read repo_files from a catalog table (e.g. an Iceberg table
+    `catalog.db.repo_files` when an Iceberg catalog is configured on the
+    session). Same DataFrame source contract as the parquet path — Catalyst
+    pushes filters/column pruning into the Iceberg scan, and everything
+    downstream is identical. (The sandbox has no Iceberg runtime jar, so
+    this path is exercised on real clusters; parquet is the tested stand-in.)
+    """
+    df = spark.table(table)
+    missing = [c for c in CORPUS_COLS if c not in df.columns]
+    if missing:
+        raise ValueError(f"table {table} lacks repo_files columns: {missing}")
+    return df.select(*CORPUS_COLS)
 
 
 def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -246,7 +246,7 @@ def simhash_signatures(df: DataFrame, text: str = "text", id_col: str = "doc_id"
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("simhash", T.LongType())]
     )
-    from pysearch.tokenize import tokenize_text
+    from pysearch.analyze import tokenize_text
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -31,7 +31,7 @@ STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
 
 def tokens_col(text_col):
-    """JVM-side tokenizer identical to pysearch.tokenize.tokenize_text."""
+    """JVM-side tokenizer identical to pysearch.analyze.tokenize_text."""
     return F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_PATTERN), 0)
 
 
@@ -139,7 +139,7 @@ def winnow_fingerprints(
             T.StructField("sig", T.ArrayType(T.LongType())),
         ]
     )
-    from pysearch.tokenize import tokenize_text
+    from pysearch.analyze import tokenize_text
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def tok_hash(tokens: list[str]) -> np.ndarray:

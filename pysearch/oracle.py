@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pysearch.config import IndexConfig
-from pysearch.tokenize import tokenize_code_text, tokenize_text, with_tokens
+from pysearch.analyze import tokenize_code_text, tokenize_text, with_tokens
 
 
 def bm25_topk(

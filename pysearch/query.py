@@ -54,7 +54,7 @@ from pyspark.sql import types as T
 from pysearch.build import bucket_of
 from pysearch.checkpoint import IndexMeta
 from pysearch.config import IndexConfig
-from pysearch.tokenize import tokenize_code_text, tokenize_text
+from pysearch.analyze import tokenize_code_text, tokenize_text
 
 HIT_SCHEMA = T.StructType(
     [

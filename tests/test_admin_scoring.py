@@ -54,7 +54,7 @@ def test_custom_score_hook(spark):
     ).collect()
     assert len(got) == 5
     # independently recompute the top doc's score
-    from pysearch.tokenize import tokenize_text
+    from pysearch.analyze import tokenize_text
 
     contents = {r["doc_id"]: r["content"] for r in corpus.collect()}
     def tf_total(c):

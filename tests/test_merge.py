@@ -115,7 +115,7 @@ def test_deletes_masked_then_compacted(spark, built):
     assert not set(got_ids) & set(dead)
     # oracle: FULL-corpus stats (df, N, avgdl include deleted docs), results
     # exclude them — exactly the pre-compaction engine semantics
-    from pysearch.tokenize import with_tokens
+    from pysearch.analyze import with_tokens
 
     full = with_tokens(ids)
     avgdl = full.agg(F.avg("dl")).collect()[0][0]

@@ -11,7 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pysearch.ops import dedup, multimodal, rerank, similarity, text
-from pysearch.tokenize import tokenize_text
+from pysearch.analyze import tokenize_text
 
 SF = "/root/testdata/sf0.001"
 

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from pysearch.corpus import assign_doc_ids
 from pysearch.fixtures import generate_repo_files
-from pysearch.tokenize import tokenize_code_text, tokenize_text, with_tokens
+from pysearch.analyze import tokenize_code_text, tokenize_text, with_tokens
 
 
 def test_tokenize_basic():
