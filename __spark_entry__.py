@@ -88,6 +88,21 @@ def _ensure_deleted_index(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+_SI_CACHE: dict[tuple, SearchIndex] = {}
+
+
+def _searcher(spark: SparkSession, idx: str) -> SearchIndex:
+    """Reuse SearchIndex handles across queries (metadata + dictionary cache
+    load once per index state — the segment-reader-cache analog). Keyed by
+    commit count so mutations (merge/delete) refresh the handle."""
+    from pysearch.checkpoint import IndexMeta
+
+    key = (idx, len(IndexMeta(idx).commits()))
+    if key not in _SI_CACHE:
+        _SI_CACHE[key] = SearchIndex(spark, idx)
+    return _SI_CACHE[key]
+
+
 def _search(spark: SparkSession, sf_dir: str, q: Query, variant: str = "main") -> DataFrame:
     if variant == "merged":
         idx = _ensure_merged_index(spark, sf_dir)
@@ -95,7 +110,7 @@ def _search(spark: SparkSession, sf_dir: str, q: Query, variant: str = "main") -
         idx = _ensure_deleted_index(spark, sf_dir)
     else:
         idx = _ensure_index(spark, sf_dir)
-    hits = SearchIndex(spark, idx).search(q)
+    hits = _searcher(spark, idx).search(q)
     return hits.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round(F.col("score"), 4).alias("score"),
