@@ -350,6 +350,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["global_term_stats"] = gdict
+
+    # ---- batched retrieval (the throughput path): 4 queries, ONE job ------
+    def batch(s, d):
+        idx = _ensure_index(s, d)
+        qs = [
+            Query(text=Q_SINGLE, k=10),
+            Query(text=Q_MULTI, k=10),
+            Query(text=Q_K100, k=100),
+            Query(text=Q_FILTERED, k=10, filter_expr="lang = 'de'"),
+        ]
+        out = _searcher(s, idx).search_batch(qs)
+        return out.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+
+    q["bm25_batch_retrieval"] = batch
     return q
 
 
@@ -510,6 +528,19 @@ FROM tok
 WHERE term IN ('spark','merge','join','data','query','the','row','table')
 GROUP BY term
 """
+    def _with_qid(qid: int, inner: str) -> str:
+        return (
+            f"SELECT {qid}::BIGINT AS query_id, doc_id, score FROM ({inner})"
+        )
+
+    o["bm25_batch_retrieval"] = "\nUNION ALL\n".join(
+        [
+            _with_qid(0, _bm25_sql(toks(Q_SINGLE), 10)),
+            _with_qid(1, _bm25_sql(toks(Q_MULTI), 10)),
+            _with_qid(2, _bm25_sql(toks(Q_K100), 100)),
+            _with_qid(3, _bm25_sql(toks(Q_FILTERED), 10, filter_sql="d.lang = 'de'")),
+        ]
+    )
     # rows-only (non-SQL-expressible or sketch-dependent):
     #   mmr_rerank_topk, text_winnow_fingerprint, dedup_minhash_lsh,
     #   dedup_simhash, embedding_neardup_lsh, ann_cosine_ivf

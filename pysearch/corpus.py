@@ -100,6 +100,26 @@ def load_repo_files(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(CORPUS_SCHEMA).parquet(path)
 
 
+def load_repo_files_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Read repo_files from JSON-lines (common crawl/export shape); extra
+    fields are dropped, missing optional fields (commit, lang) are filled.
+    Same downstream contract as the parquet loader."""
+    df = spark.read.json(path)
+    cols = {c.lower(): c for c in df.columns}
+    missing = [c for c in ("repo", "path", "content") if c not in cols]
+    if missing:
+        raise ValueError(f"jsonl corpus at {path} lacks columns: {missing}")
+    sel = [F.col(cols[c]).cast("string").alias(c) for c in ("repo", "path")]
+    commit = (
+        F.col(cols["commit"]).cast("string") if "commit" in cols else F.lit(None)
+    )
+    lang = F.col(cols["lang"]).cast("string") if "lang" in cols else F.lit(None)
+    sel.append(F.coalesce(commit, F.md5(F.col(cols["content"]))).alias("commit"))
+    sel.append(F.coalesce(lang, F.lit("unknown")).alias("lang"))
+    sel.append(F.col(cols["content"]).cast("string").alias("content"))
+    return df.select(*sel)
+
+
 def load_repo_files_table(spark: SparkSession, table: str) -> DataFrame:
     """Read repo_files from a catalog table (e.g. an Iceberg table
     `catalog.db.repo_files` when an Iceberg catalog is configured on the

@@ -59,3 +59,21 @@ def test_fixture_corpus_shape(spark):
     # Zipf repo skew: org0/repo0 is the hottest repo
     top = corpus.groupBy("repo").count().orderBy(F.desc("count")).first()
     assert top["repo"] == "org0/repo0"
+
+
+def test_jsonl_corpus_loader(spark, tmp_path):
+    import json as _json
+
+    from pysearch.corpus import load_repo_files_jsonl
+
+    p = tmp_path / "corpus.jsonl"
+    rows = [
+        {"repo": "o/r", "path": "a.py", "content": "import license foo", "lang": "python", "extra": 1},
+        {"repo": "o/r", "path": "b.py", "content": "merge query"},  # no commit/lang
+    ]
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+    df = load_repo_files_jsonl(spark, str(p))
+    assert df.columns == ["repo", "path", "commit", "lang", "content"]
+    got = {r["path"]: r for r in df.collect()}
+    assert got["b.py"]["lang"] == "unknown" and got["b.py"]["commit"] is not None
+    assert got["a.py"]["lang"] == "python"
