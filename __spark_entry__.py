@@ -368,6 +368,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_batch_retrieval"] = batch
+
+    # ---- persisted IVF vector index (the on-disk ANN lifecycle twin) ------
+    def ivf_persisted(s, d):
+        from pysearch.ops.vector_index import build_vector_index, search_vector_index
+
+        idx = _index_dir(d, "ivf")
+        emb = _emb(s, d)
+        build_vector_index(s, emb, idx, nlist=8, seed=42)
+        qrows = emb.where("vec_id < 4").collect()
+        queries_v = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+        # full probe -> exact semantics, so the DuckDB oracle applies
+        out = search_vector_index(s, idx, queries_v, k=10, nprobe=8)
+        return out.select("query_id", "neighbor_id", "rank")
+
+    q["ann_ivf_persisted_fullprobe"] = ivf_persisted
     return q
 
 
@@ -541,6 +556,18 @@ GROUP BY term
             _with_qid(3, _bm25_sql(toks(Q_FILTERED), 10, filter_sql="d.lang = 'de'")),
         ]
     )
+    o["ann_ivf_persisted_fullprobe"] = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding, x.embedding), 9) DESC,
+                    x.vec_id ASC
+         ) AS rank
+  FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
+  WHERE q.vec_id < 4
+) WHERE rank <= 10
+"""
     # rows-only (non-SQL-expressible or sketch-dependent):
     #   mmr_rerank_topk, text_winnow_fingerprint, dedup_minhash_lsh,
     #   dedup_simhash, embedding_neardup_lsh, ann_cosine_ivf
