@@ -89,3 +89,40 @@ def test_commit_log_replay(tmp_index):
     # idempotency
     assert meta.append_commit("a", op="add", adds=["zz"]) is False
     assert meta.live_segments() == ["s4"]
+
+
+def test_merge_crash_before_commit_recovers(spark, tmp_index):
+    """A merge that died after writing data but BEFORE its commit leaves the
+    output invisible (old segments stay live); re-running the merge succeeds
+    and produces a consistent index (the atomic-visibility guarantee)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pysearch.fixtures import generate_repo_files
+    from pysearch.merge import merge_segments
+
+    corpus = generate_repo_files(spark, 300, seed=21)
+    build_index(spark, corpus, tmp_index, CFG)
+    meta = IndexMeta(tmp_index)
+    segs = meta.live_segments()[:2]
+
+    # simulate the crash: materialize a half-written merge output with no
+    # commit — a garbage dir that the retry must overwrite
+    import hashlib
+
+    digest = hashlib.sha1(("|".join(sorted(segs)) + "|compact=False").encode()).hexdigest()[:12]
+    victim = meta.segment_dir(f"seg_m_{digest}")
+    os.makedirs(os.path.join(victim, "postings.parquet"), exist_ok=True)
+    with open(os.path.join(victim, "postings.parquet", "garbage"), "w") as f:
+        f.write("partial")
+    assert meta.live_segments() == sorted(set(meta.live_segments()))  # old still live
+    assert f"seg_m_{digest}" not in meta.live_segments()
+
+    new_seg = merge_segments(spark, tmp_index, segs)
+    assert new_seg == f"seg_m_{digest}"
+    assert new_seg in meta.live_segments()
+    from pysearch.query import Query, SearchIndex
+
+    si = SearchIndex(spark, tmp_index)
+    assert si.search(Query(text="license merge", k=5)).count() == 5
