@@ -124,6 +124,27 @@ def global_dictionary(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
+def gc_segments(index_dir: str, dry_run: bool = False) -> list[str]:
+    """Delete segment directories no longer reachable from the commit log
+    (retired by merges, or orphaned by crashes before their commit). Safe at
+    any time: visibility is determined solely by the log, so removal of
+    non-live directories cannot affect readers — the Lucene
+    IndexFileDeleter / Iceberg orphan-file-cleanup analog."""
+    import shutil
+
+    meta = IndexMeta(index_dir)
+    live = set(meta.live_segments())
+    victims = [
+        d
+        for d in sorted(os.listdir(meta.segments_dir))
+        if d not in live and os.path.isdir(os.path.join(meta.segments_dir, d))
+    ]
+    if not dry_run:
+        for d in victims:
+            shutil.rmtree(os.path.join(meta.segments_dir, d), ignore_errors=True)
+    return victims
+
+
 def stats(spark: SparkSession, index_dir: str) -> DataFrame:
     """All recorded build/merge metrics rows as one DataFrame (the stats
     REST surface analog) — per-bucket lineage plus *_total rollups with

@@ -9,6 +9,7 @@ from pysearch.config import IndexConfig
 from pysearch.corpus import assign_doc_ids
 from pysearch.fixtures import generate_repo_files
 from pysearch.merge import force_merge
+from pysearch.checkpoint import IndexMeta
 from pysearch.oracle import custom_score_topk
 
 CFG = IndexConfig(segment_rows=128, term_buckets=8)
@@ -80,3 +81,26 @@ def test_custom_score_hook(spark):
         for r in bm25_topk(corpus, "merge query", k=10).collect()
     ]
     assert via_hook == via_oracle
+
+
+def test_gc_segments(spark, tmp_index):
+    import os
+
+    from pysearch.admin import gc_segments
+    from pysearch.merge import force_merge
+    from pysearch.query import Query, SearchIndex
+
+    corpus = generate_repo_files(spark, 300, seed=8)
+    build_index(spark, corpus, tmp_index, CFG)
+    meta = IndexMeta(tmp_index)
+    before = meta.live_segments()
+    force_merge(spark, tmp_index, max_segments=1)
+
+    victims = gc_segments(tmp_index, dry_run=True)
+    assert set(victims) == set(before)  # retired inputs are collectible
+    gc_segments(tmp_index)
+    remaining = os.listdir(os.path.join(tmp_index, "segments"))
+    assert set(remaining) == set(meta.live_segments())
+    # index still fully queryable after GC
+    si = SearchIndex(spark, tmp_index)
+    assert si.search(Query(text="license merge", k=5)).count() == 5
