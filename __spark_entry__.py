@@ -383,6 +383,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("query_id", "neighbor_id", "rank")
 
     q["ann_ivf_persisted_fullprobe"] = ivf_persisted
+
+    # ---- relational internals demonstrated standalone (SURVEY §2.5:
+    # aggregations / broadcast joins / windows are what the engine composes
+    # internally — dictionary rollups, candidate joins, grouped top-k) ------
+    def rel_agg(s, d):
+        li = s.read.parquet(f"{d}/lineitem.parquet")
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("sum_disc_price"),
+                F.count(F.lit(1)).cast("long").alias("count_order"),
+            )
+        )
+
+    q["rel_pricing_summary"] = rel_agg
+
+    def rel_join(s, d):
+        o = s.read.parquet(f"{d}/orders.parquet")
+        c = s.read.parquet(f"{d}/customer.parquet")
+        return (
+            o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_custkey", "c_name")
+            .agg(
+                F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+            )
+            .orderBy(F.desc(F.round(F.col("total_spent"), 9)), F.asc("c_custkey"))
+            .limit(10)
+        )
+
+    q["rel_top_customers"] = rel_join
+
+    def rel_window(s, d):
+        from pyspark.sql import Window as W
+
+        o = s.read.parquet(f"{d}/orders.parquet")
+        w = W.partitionBy("o_orderpriority").orderBy(
+            F.desc(F.round(F.col("o_totalprice"), 9)), F.asc("o_orderkey")
+        )
+        return (
+            o.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select(
+                "o_orderpriority",
+                F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                F.round("o_totalprice", 4).alias("o_totalprice"),
+                F.col("rk").cast("long").alias("rk"),
+            )
+        )
+
+    q["rel_top_orders_per_priority"] = rel_window
     return q
 
 
@@ -567,6 +623,36 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
   WHERE q.vec_id < 4
 ) WHERE rank <= 10
+"""
+    o["rel_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity), 4) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(l_extendedprice), 4) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE) AS sum_disc_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+    o["rel_top_customers"] = """
+SELECT c_custkey, c_name,
+       CAST(round(sum(o_totalprice), 4) AS DOUBLE) AS total_spent,
+       count(*)::BIGINT AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY round(sum(o_totalprice), 9) DESC, c_custkey ASC
+LIMIT 10
+"""
+    o["rel_top_orders_per_priority"] = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_orderpriority, o_orderkey::BIGINT AS o_orderkey,
+         CAST(round(o_totalprice, 4) AS DOUBLE) AS o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY round(o_totalprice, 9) DESC, o_orderkey ASC
+         )::BIGINT AS rk
+  FROM orders
+) WHERE rk <= 3
 """
     # rows-only (non-SQL-expressible or sketch-dependent):
     #   mmr_rerank_topk, text_winnow_fingerprint, dedup_minhash_lsh,
