@@ -136,11 +136,15 @@ def _bm25_sql(
     filter_sql: str | None = None,
     min_score: float | None = None,
     corpus_filter: str | None = None,
+    terms_subquery: str | None = None,
 ) -> str:
     base = (
         f"SELECT * FROM documents WHERE {corpus_filter}" if corpus_filter else "SELECT * FROM documents"
     )
-    terms_in = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    if terms_subquery is not None:
+        terms_in = terms_subquery
+    else:
+        terms_in = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     filt = (
         f"JOIN corpus d ON scored.doc_id = d.doc_id WHERE {filter_sql}" if filter_sql else ""
     )
@@ -190,6 +194,7 @@ Q_K100 = "data query group"
 Q_FILTERED = "window sort batch"
 Q_MINSCORE = "spark merge query"
 Q_DELETED = "table scan index"
+Q_PREFIX = "s* merge"  # trailing-* = prefix term (MultiTermQuery analog)
 
 ANN_QUERY_IDS = list(range(10))
 
@@ -368,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_batch_retrieval"] = batch
+    q["bm25_prefix_expansion"] = lambda s, d: _search(s, d, Query(text=Q_PREFIX, k=10))
 
     # ---- persisted IVF vector index (the on-disk ANN lifecycle twin) ------
     def ivf_persisted(s, d):
@@ -624,6 +630,15 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE q.vec_id < 4
 ) WHERE rank <= 10
 """
+    # prefix expansion: same rule as the engine (all dictionary terms with
+    # the prefix, term-ascending, cap 50) expressed as a LIKE subquery
+    o["bm25_prefix_expansion"] = _bm25_sql(
+        [], 10,
+        terms_subquery=(
+            "SELECT term FROM (SELECT DISTINCT term FROM tok "
+            "WHERE term LIKE 's%' ORDER BY term LIMIT 50) UNION ALL SELECT 'merge'"
+        ),
+    )
     o["rel_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        CAST(round(sum(l_quantity), 4) AS DOUBLE) AS sum_qty,

@@ -40,10 +40,30 @@ def bm25_topk(
     config = config or IndexConfig()
     code_aware = bool(config.extra.get("code_aware"))
     qfn = tokenize_code_text if code_aware else tokenize_text
-    terms = list(dict.fromkeys(qfn(query_text)))
 
     toks = with_tokens(corpus_with_ids, "content", code_aware=code_aware)
     posting = toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
+
+    # same analysis as the engine, including trailing-* prefix expansion
+    # (expansion over the corpus vocabulary = the engine's dictionary)
+    terms: list[str] = []
+    for raw in query_text.split():
+        if raw.endswith("*") and len(raw) > 1:
+            base = qfn(raw[:-1])
+            if not base:
+                continue
+            rows = (
+                posting.where(F.col("term").startswith(base[-1]))
+                .select("term")
+                .distinct()
+                .orderBy("term")
+                .limit(50)
+                .collect()
+            )
+            terms.extend(r["term"] for r in rows)
+        else:
+            terms.extend(qfn(raw))
+    terms = list(dict.fromkeys(terms))
 
     if stats is None:
         row = toks.agg(

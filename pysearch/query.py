@@ -134,15 +134,51 @@ class SearchIndex:
             )
             self._df_cache = {r["term"]: int(r["df"]) for r in rows}
 
+    MAX_PREFIX_EXPANSIONS = 50  # Lucene MultiTermQuery-style cap
+
     # -- plan helpers --------------------------------------------------------
     def _tokenize_query(self, text: str) -> list[str]:
+        """Analyze the query text. A token written with a trailing ``*`` is a
+        PREFIX term (the wildcard/MultiTermQuery analog): it expands to every
+        dictionary term with that prefix — deterministically the first
+        MAX_PREFIX_EXPANSIONS in term order — and each expansion scores as a
+        normal BM25 term. Expansion scans the dictionaries of all buckets
+        (prefixes don't hash), relying on term-sorted row groups for pruning."""
         fn = tokenize_code_text if self.config.extra.get("code_aware") else tokenize_text
         seen, out = set(), []
-        for t in fn(text):
-            if t not in seen:
-                seen.add(t)
-                out.append(t)
+        for raw in text.split():
+            if raw.endswith("*") and len(raw) > 1:
+                toks = fn(raw[:-1])
+                if not toks:
+                    continue
+                for t in self.expand_prefix(toks[-1]):
+                    if t not in seen:
+                        seen.add(t)
+                        out.append(t)
+                continue
+            for t in fn(raw):
+                if t not in seen:
+                    seen.add(t)
+                    out.append(t)
         return out
+
+    def expand_prefix(self, prefix: str) -> list[str]:
+        """All indexed terms starting with `prefix`, term-ascending, capped."""
+        if not self.segments:
+            return []
+        if self._df_cache is not None:
+            matches = sorted(t for t in self._df_cache if t.startswith(prefix))
+        else:
+            rows = (
+                self._dictionary_df.where(F.col("term").startswith(prefix))
+                .select("term")
+                .distinct()
+                .orderBy("term")
+                .limit(self.MAX_PREFIX_EXPANSIONS)
+                .collect()
+            )
+            matches = [r["term"] for r in rows]
+        return matches[: self.MAX_PREFIX_EXPANSIONS]
 
     def _read_union(
         self, path_fn, segments: Iterable[str], schema=None

@@ -123,3 +123,19 @@ def test_query_validation():
         Query(text="x", k=0).validate()
     with pytest.raises(ValueError):
         Query(text="x", k=20000).validate()
+
+
+def test_prefix_query_rank_identity(spark, built):
+    """Trailing-* prefix terms (MultiTermQuery analog) expand over the
+    dictionary and stay rank-identical to the oracle with the same rule."""
+    idx, ids = built
+    si = SearchIndex(spark, idx)
+    for q in ["tok012* license", "merge tok05*"]:
+        eng = si.search(Query(text=q, k=10))
+        orc = bm25_topk(ids, q, k=10, config=CFG)
+        assert _pairs(eng) == _pairs(orc), q
+        assert eng.count() > 0
+    # expansion itself: deterministic, term-ascending, capped
+    exp = si.expand_prefix("tok01")
+    assert exp == sorted(exp) and len(exp) <= si.MAX_PREFIX_EXPANSIONS
+    assert all(t.startswith("tok01") for t in exp) and exp
