@@ -195,6 +195,7 @@ Q_FILTERED = "window sort batch"
 Q_MINSCORE = "spark merge query"
 Q_DELETED = "table scan index"
 Q_PREFIX = "s* merge"  # trailing-* = prefix term (MultiTermQuery analog)
+Q_PHRASE = '"table scan" merge'  # quoted = exact adjacent token phrase
 
 ANN_QUERY_IDS = list(range(10))
 
@@ -374,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_batch_retrieval"] = batch
     q["bm25_prefix_expansion"] = lambda s, d: _search(s, d, Query(text=Q_PREFIX, k=10))
+    q["bm25_phrase"] = lambda s, d: _search(s, d, Query(text=Q_PHRASE, k=10))
 
     # ---- persisted IVF vector index (the on-disk ANN lifecycle twin) ------
     def ivf_persisted(s, d):
@@ -639,6 +641,13 @@ SELECT query_id, neighbor_id, rank FROM (
             "WHERE term LIKE 's%' ORDER BY term LIMIT 50) UNION ALL SELECT 'merge'"
         ),
     )
+    # phrase adjacency on the normalized token stream == the engine's
+    # positions-tier check (filter), component terms still score
+    phrase_like = (
+        "' ' || array_to_string(regexp_extract_all(lower(d.text), '[a-z0-9]+'), ' ') "
+        "|| ' ' LIKE '% table scan %'"
+    )
+    o["bm25_phrase"] = _bm25_sql(["table", "scan", "merge"], 10, filter_sql=phrase_like)
     o["rel_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
        CAST(round(sum(l_quantity), 4) AS DOUBLE) AS sum_qty,

@@ -61,6 +61,7 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("min_dl", T.IntegerType()),
         T.StructField("sum_tf", T.LongType()),
         T.StructField("codec", T.IntegerType()),
+        T.StructField("poss", T.BinaryType()),
     ]
 )
 
@@ -83,14 +84,18 @@ TF_SCHEMA = T.StructType(
         T.StructField("dl", T.IntegerType()),
         T.StructField("tf", T.LongType()),
         T.StructField("bucket", T.IntegerType()),
+        # ascending token positions of the term in the doc (phrase tier);
+        # empty when store_positions is off
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
     ]
 )
 
 
-def _tokenize_tf_factory(term_buckets: int, code_aware: bool):
+def _tokenize_tf_factory(term_buckets: int, code_aware: bool, store_positions: bool = False):
     """Fused analyzer stage: content -> tokens -> per-(doc, term) tf with the
-    doc length and the portable term bucket attached. All pandas/numpy; md5
-    bucketing is computed once per DISTINCT term per batch."""
+    doc length and the portable term bucket attached; optionally the per-
+    posting token positions (phrase tier). All pandas/numpy; md5 bucketing is
+    computed once per DISTINCT term per batch."""
 
     def run(batches):
         from pysearch.analyze import tokenize_code_text, tokenize_text
@@ -102,33 +107,61 @@ def _tokenize_tf_factory(term_buckets: int, code_aware: bool):
                 continue
             toks = pdf["content"].map(tok)
             dl = toks.map(len).astype("int32")
-            exploded = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy().repeat(dl),
-                    "dl": dl.to_numpy().repeat(dl),
-                    "term": np.concatenate(
-                        [np.asarray(t, dtype=object) for t in toks if t] or [np.empty(0, dtype=object)]
-                    ),
-                }
+            dl_np = dl.to_numpy()
+            total = int(dl_np.sum())
+            doc_ids = pdf["doc_id"].to_numpy().repeat(dl_np)
+            terms = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks if t]
+                or [np.empty(0, dtype=object)]
             )
-            if not len(exploded):
+            if not total:
                 continue
-            tf = (
-                exploded.groupby(["term", "doc_id", "dl"], sort=False)
-                .size()
-                .rename("tf")
-                .reset_index()
-            )
+            # intra-doc token position for every occurrence
+            doc_starts = np.concatenate(([0], np.cumsum(dl_np)[:-1]))
+            pos = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, dl_np)
+
+            if store_positions:
+                # group occurrences by (term, doc): stable sort keeps the
+                # intra-doc position order ascending within each posting
+                order = np.lexsort((doc_ids, terms.astype("U")))
+                g_terms, g_docs, g_pos = terms[order], doc_ids[order], pos[order]
+                g_dl = np.repeat(dl_np, dl_np)[order]
+                bnd = np.flatnonzero(
+                    np.concatenate(
+                        ([True], (g_terms[1:] != g_terms[:-1]) | (g_docs[1:] != g_docs[:-1]))
+                    )
+                )
+                counts = np.diff(np.append(bnd, total))
+                tf = pd.DataFrame(
+                    {
+                        "term": g_terms[bnd],
+                        "doc_id": g_docs[bnd].astype(np.int64),
+                        "dl": g_dl[bnd].astype(np.int32),
+                        "tf": counts.astype(np.int64),
+                        "positions": np.split(g_pos.astype(np.int32), np.cumsum(counts)[:-1]),
+                    }
+                )
+            else:
+                exploded = pd.DataFrame(
+                    {"doc_id": doc_ids, "dl": np.repeat(dl_np, dl_np), "term": terms}
+                )
+                tf = (
+                    exploded.groupby(["term", "doc_id", "dl"], sort=False)
+                    .size()
+                    .rename("tf")
+                    .reset_index()
+                )
+                tf["tf"] = tf["tf"].astype("int64")
+                tf["positions"] = [[]] * len(tf)
             uniq = tf["term"].unique()
             bmap = {t: bucket_of(t, term_buckets) for t in uniq}
             tf["bucket"] = tf["term"].map(bmap).astype("int32")
-            tf["tf"] = tf["tf"].astype("int64")
-            yield tf[["term", "doc_id", "dl", "tf", "bucket"]]
+            yield tf[["term", "doc_id", "dl", "tf", "bucket", "positions"]]
 
     return run
 
 
-def _encode_bucket_factory(block_size: int, min_compress: int = 1):
+def _encode_bucket_factory(block_size: int, min_compress: int = 1, store_positions: bool = False):
     def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         # one group = one (segment, term-bucket); at most `segment_rows`
         # postings per term -> bounded memory regardless of corpus size
@@ -137,20 +170,26 @@ def _encode_bucket_factory(block_size: int, min_compress: int = 1):
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
+        pos_col = pdf["positions"].to_numpy() if store_positions else None
         bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
         uniq, starts = np.unique(terms, return_index=True)
         bounds = np.append(starts, len(terms))
         rows: dict[str, list] = {k: [] for k in BLOCK_SCHEMA.fieldNames()}
         for t_i, term in enumerate(uniq):
             s, e = bounds[t_i], bounds[t_i + 1]
+            pc = None
+            if pos_col is not None:
+                parts = [np.asarray(p, dtype=np.int64) for p in pos_col[s:e]]
+                pc = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
             for blk in encode_posting_blocks(
-                ids[s:e], tfs[s:e], dls[s:e], block_size, min_compress
+                ids[s:e], tfs[s:e], dls[s:e], block_size, min_compress,
+                positions_concat=pc,
             ):
                 rows["term"].append(term)
                 rows["bucket"].append(bucket)
                 for name, val in zip(
                     ["block_id", "n", "first_id", "last_id", "ids", "tfs", "dls",
-                     "max_tf", "min_dl", "sum_tf", "codec"],
+                     "max_tf", "min_dl", "sum_tf", "codec", "poss"],
                     blk,
                 ):
                     rows[name].append(val)
@@ -197,14 +236,19 @@ def build_segment_from_df(
     # second full shuffle of raw token strings)
     tfrows = seg.select("doc_id", "content").mapInPandas(
         _tokenize_tf_factory(
-            config.term_buckets, bool(config.extra.get("code_aware"))
+            config.term_buckets,
+            bool(config.extra.get("code_aware")),
+            store_positions=config.store_positions,
         ),
         schema=TF_SCHEMA,
     ).persist()
 
     blocks = tfrows.groupBy("bucket").applyInPandas(
-        _encode_bucket_factory(config.block_size, config.min_block_docs),
-        schema=BLOCK_SCHEMA
+        _encode_bucket_factory(
+            config.block_size, config.min_block_docs,
+            store_positions=config.store_positions,
+        ),
+        schema=BLOCK_SCHEMA,
     )
     (
         blocks.write.mode("overwrite")

@@ -91,18 +91,57 @@ CODEC_VARINT = 0  # delta-gap + LEB128 (the "quantized" tier)
 CODEC_RAW = 1     # raw little-endian arrays (the "full precision" tier)
 
 
+# ---------------------------------------------------------------------------
+# positions (for phrase queries): per posting, the ascending token positions
+# of the term in the doc, delta-encoded (first absolute) in one varint stream
+# per block, posting-major. The posting's position count == its tf, so the
+# stream needs no extra framing.
+# ---------------------------------------------------------------------------
+
+def encode_positions(tfs: np.ndarray, positions_concat: np.ndarray) -> bytes:
+    """tfs: per-posting counts; positions_concat: all positions posting-major
+    (len == tfs.sum()), ascending within each posting."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    pos = np.asarray(positions_concat, dtype=np.int64)
+    if pos.size == 0:
+        return b""
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    deltas = np.empty_like(pos)
+    deltas[1:] = pos[1:] - pos[:-1]
+    deltas[starts] = pos[starts]  # first of each posting absolute
+    return varint_encode(deltas.astype(np.uint64))
+
+
+def decode_positions(tfs: np.ndarray, buf: bytes) -> np.ndarray:
+    """Inverse of encode_positions: returns the posting-major positions."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    full = varint_decode(buf, total).astype(np.int64)
+    cs = np.cumsum(full)
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    corr = (cs - full)[starts]  # prefix sum before each posting start
+    return cs - np.repeat(corr, tfs)
+
+
 def encode_posting_blocks(
     ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
     block_size: int,
     min_compress_postings: int = 1,
+    positions_concat: np.ndarray | None = None,
 ):
     """Split a posting list into blocks (sorted by id here).
 
     Returns one tuple per block:
     (block_id, n, first_id, last_id, ids_bytes, tfs_bytes, dls_bytes,
-     max_tf, min_dl, sum_tf, codec).
+     max_tf, min_dl, sum_tf, codec, poss_bytes).
+    `positions_concat` (optional): posting-major token positions aligned
+    with the INPUT order of (ids, tfs) — per-posting counts are the tfs.
+    When given, each block carries its positions varint stream (phrase tier);
+    otherwise poss_bytes is empty.
     Doc lengths are stored in-block (denormalized norms, the Lucene-norms
     analog) so the query path scores from postings alone.
 
@@ -114,15 +153,33 @@ def encode_posting_blocks(
     metadata, so the query path is codec-agnostic above the decoder.
     """
     order = np.argsort(ids, kind="stable")
-    ids = np.asarray(ids, dtype=np.int64)[order]
-    tfs = np.asarray(tfs, dtype=np.int64)[order]
+    ids_in = np.asarray(ids, dtype=np.int64)
+    tfs_in = np.asarray(tfs, dtype=np.int64)
+    ids = ids_in[order]
+    tfs = tfs_in[order]
     dls = np.asarray(dls, dtype=np.int64)[order]
+    pos_per_posting: list | None = None
+    if positions_concat is not None:
+        pos_all = np.asarray(positions_concat, dtype=np.int64)
+        in_starts = np.concatenate(([0], np.cumsum(tfs_in)[:-1]))
+        pos_per_posting = [
+            pos_all[in_starts[j]: in_starts[j] + tfs_in[j]] for j in order
+        ]
     n = ids.size
     codec = CODEC_RAW if n < min_compress_postings else CODEC_VARINT
     out = []
     for b0 in range(0, n, block_size):
         sl = slice(b0, min(b0 + block_size, n))
         bids, btfs, bdls = ids[sl], tfs[sl], dls[sl]
+        if pos_per_posting is not None:
+            bpos = (
+                np.concatenate(pos_per_posting[sl])
+                if btfs.sum()
+                else np.empty(0, dtype=np.int64)
+            )
+            poss_b = encode_positions(btfs, bpos)
+        else:
+            poss_b = b""
         if codec == CODEC_VARINT:
             deltas = np.diff(bids).astype(np.uint64)  # strictly increasing
             enc = (
@@ -149,6 +206,7 @@ def encode_posting_blocks(
                 int(bdls.min()),
                 int(btfs.sum()),
                 codec,
+                poss_b,
             )
         )
     return out

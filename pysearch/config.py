@@ -37,6 +37,9 @@ class IndexConfig:
     # CODEC_RAW) — mirrors minimumBatchSizeForQuantization=1024
     # (JVectorWriter.java:263-283): tiny batches skip the compression tier.
     min_block_docs: int = 8
+    # store per-posting token positions (enables quoted-phrase queries;
+    # roughly doubles posting payload — disable for position-free workloads)
+    store_positions: bool = True
 
     # --- term dictionary layout ---
     # postings are hash-partitioned into `term_buckets` directory partitions

@@ -58,6 +58,7 @@ _POSTING_ROW_SCHEMA = T.StructType(
         T.StructField("dl", T.LongType()),
         T.StructField("tf", T.LongType()),
         T.StructField("bucket", T.IntegerType()),
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
     ]
 )
 
@@ -232,9 +233,9 @@ def _incremental_union(spark, meta, config, seg_ids, new_seg):
     )
 
 
-def _decode_factory():
+def _decode_factory(with_positions: bool):
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pysearch.codec import decode_blocks_batch
+        from pysearch.codec import decode_blocks_batch, decode_positions
 
         for pdf in batches:
             if len(pdf) == 0:
@@ -254,17 +255,26 @@ def _decode_factory():
                     list(g["dls"]),
                     g["codec"].to_numpy(np.int64),
                 )
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "term": term,
-                            "doc_id": ids,
-                            "dl": dls,
-                            "tf": tfs,
-                            "bucket": np.int32(g["bucket"].iloc[0]),
-                        }
-                    )
+                out = pd.DataFrame(
+                    {
+                        "term": term,
+                        "doc_id": ids,
+                        "dl": dls,
+                        "tf": tfs,
+                        "bucket": np.int32(g["bucket"].iloc[0]),
+                    }
                 )
+                if with_positions:
+                    # per-BLOCK streams must decode with their own tfs; the
+                    # stitched multi-block stream is safe because deltas
+                    # reset at every posting start
+                    pos = decode_positions(tfs, b"".join(g["poss"]))
+                    out["positions"] = np.split(
+                        pos.astype(np.int32), np.cumsum(tfs)[:-1]
+                    )
+                else:
+                    out["positions"] = [[]] * len(out)
+                outs.append(out)
             yield pd.concat(outs, ignore_index=True)
 
     return decode
@@ -286,12 +296,17 @@ def _compact_rewrite(spark, meta, config, seg_ids, new_seg, dead_here):
     allb = blocks[0]
     for b in blocks[1:]:
         allb = allb.unionByName(b)
-    rows = allb.mapInPandas(_decode_factory(), schema=_POSTING_ROW_SCHEMA)
+    rows = allb.mapInPandas(
+        _decode_factory(config.store_positions), schema=_POSTING_ROW_SCHEMA
+    )
     if dead_here:
         dead_df = spark.createDataFrame([(int(d),) for d in dead_here], "doc_id long")
         rows = rows.join(F.broadcast(dead_df), "doc_id", "left_anti")
     reenc = rows.groupBy("bucket").applyInPandas(
-        _encode_bucket_factory(config.block_size, config.min_block_docs),
+        _encode_bucket_factory(
+            config.block_size, config.min_block_docs,
+            store_positions=config.store_positions,
+        ),
         schema=BLOCK_SCHEMA,
     )
     reenc.write.mode("overwrite").partitionBy("bucket").parquet(

@@ -44,6 +44,20 @@ def bm25_topk(
     toks = with_tokens(corpus_with_ids, "content", code_aware=code_aware)
     posting = toks.select("doc_id", "dl", F.explode("tokens").alias("term"))
 
+    # quoted phrases: exact adjacent token runs become a filter (the engine's
+    # positions tier), the component terms still score as BM25 terms
+    from pysearch.query import parse_phrases
+
+    query_text, phrases = parse_phrases(query_text, qfn)
+    phrase_filter = None
+    if phrases:
+        joined = F.concat(F.lit(" "), F.array_join("tokens", " "), F.lit(" "))
+        cond = None
+        for p in phrases:
+            c = joined.contains(" " + " ".join(p) + " ")
+            cond = c if cond is None else (cond & c)
+        phrase_filter = toks.where(cond).select("doc_id")
+
     # same analysis as the engine, including trailing-* prefix expansion
     # (expansion over the corpus vocabulary = the engine's dictionary)
     terms: list[str] = []
@@ -111,6 +125,8 @@ def bm25_topk(
     if filter_expr is not None:
         allowed = corpus_with_ids.where(filter_expr).select("doc_id")
         scored = scored.join(allowed, "doc_id", "left_semi")
+    if phrase_filter is not None:
+        scored = scored.join(phrase_filter, "doc_id", "left_semi")
     # same 1e-9-rounded ranking + doc_id tiebreak as the engine (exact ties
     # must order identically regardless of float summation order)
     rank_score = F.round(F.col("score"), 9)

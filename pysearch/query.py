@@ -51,10 +51,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import re as _re
+
 from pysearch.build import bucket_of
 from pysearch.checkpoint import IndexMeta
 from pysearch.config import IndexConfig
 from pysearch.analyze import tokenize_code_text, tokenize_text
+
+_PHRASE_RE = _re.compile(r'"([^"]*)"')
+_POS_SHIFT = np.int64(22)  # doc_id<<22 | position keys (docs < 2^41, dl < 4M)
+
+
+def parse_phrases(text: str, analyzer) -> tuple[str, list[list[str]]]:
+    """Extract quoted phrases ("exact span") from the query text. Returns
+    (text with quotes stripped — the phrase terms still score as normal BM25
+    terms — and the list of analyzed phrase term sequences)."""
+    phrases: list[list[str]] = []
+
+    def repl(m):
+        toks = analyzer(m.group(1))
+        if len(toks) >= 2:
+            phrases.append(toks)
+        return " " + m.group(1) + " "
+
+    rest = _PHRASE_RE.sub(repl, text)
+    return rest, phrases
 
 HIT_SCHEMA = T.StructType(
     [
@@ -239,10 +260,19 @@ class SearchIndex:
         spark = self.spark
         cfg = self.config
 
-        terms = self._tokenize_query(query.text)
+        fn = tokenize_code_text if cfg.extra.get("code_aware") else tokenize_text
+        rest, phrases = parse_phrases(query.text, fn)
+        if phrases and not cfg.store_positions:
+            raise ValueError(
+                "phrase queries need an index built with store_positions=True"
+            )
+        terms = self._tokenize_query(rest)
         stats = self.global_term_stats(terms)
-        terms = [t for t in terms if t in stats]  # drop zero-hit terms
         empty_hits = spark.createDataFrame([], _hits_out_schema())
+        # a phrase containing a zero-hit term can never match
+        if any(t not in stats for p in phrases for t in p):
+            return (empty_hits, spark.createDataFrame([], _metrics_schema())) if with_metrics else empty_hits
+        terms = [t for t in terms if t in stats]  # drop zero-hit terms
         if not terms or not self.segments:
             return (empty_hits, spark.createDataFrame([], _metrics_schema())) if with_metrics else empty_hits
 
@@ -271,6 +301,7 @@ class SearchIndex:
             seg_docs=seg_docs,
             approximate_threshold=cfg.approximate_threshold,
             bitmap_selectivity=cfg.filter_bitmap_selectivity,
+            phrases=phrases,
         )
         candidates = (
             postings.groupBy("segment_id")
@@ -332,8 +363,14 @@ class SearchIndex:
 
         qinfos = []
         all_terms: list[str] = []
+        fn = tokenize_code_text if cfg.extra.get("code_aware") else tokenize_text
         for qid, q in enumerate(queries):
             q.validate()
+            if parse_phrases(q.text, fn)[1]:
+                raise ValueError(
+                    "quoted phrases are not supported in search_batch yet; "
+                    "use search() per phrase query"
+                )
             terms = self._tokenize_query(q.text)
             qinfos.append(
                 {
@@ -595,7 +632,10 @@ def _segment_search_factory(
     seg_docs: dict[str, int],
     approximate_threshold: int,
     bitmap_selectivity: float,
+    phrases: list[list[str]] | None = None,
 ):
+    phrases = phrases or []
+
     def kernel(blocks: pd.DataFrame, restrict: pd.DataFrame) -> pd.DataFrame:
         if len(blocks) == 0:
             return _empty_hits()
@@ -604,6 +644,13 @@ def _segment_search_factory(
         if filter_present and allow is None:
             # filter matched nothing in this segment
             return _empty_hits()
+        if phrases:
+            pa = _phrase_allowed(blocks, phrases)
+            if pa.size == 0:
+                return _empty_hits()
+            allow = pa if allow is None else np.intersect1d(allow, pa)
+            if allow.size == 0:
+                return _empty_hits()
 
         # exact-vs-approx switch (approximate_threshold analog, Q8): tiny
         # segments are scored brute-force — all terms essential, no skipping
@@ -645,6 +692,56 @@ def _empty_hits():
             "strategy": pd.Series(dtype="object"),
         }
     )
+
+
+def _phrase_allowed(blocks: pd.DataFrame, phrases: list[list[str]]) -> np.ndarray:
+    """Docs (within this segment's blocks) containing every phrase as an
+    exact adjacent token run. Fully vectorized: occurrences become
+    (doc << 22 | position) keys; for each subsequent phrase term the
+    surviving keys advance by one position and intersect with that term's
+    key set (sorted-merge membership). The positions tier is the analog of
+    the reference's full-precision data enabling the exact second pass."""
+    from pysearch.codec import decode_blocks_batch, decode_positions
+
+    allowed: np.ndarray | None = None
+    for phrase in phrases:
+        surv: np.ndarray | None = None
+        for j, term in enumerate(phrase):
+            g = blocks[blocks["term"] == term].sort_values("first_id", kind="mergesort")
+            if not len(g):
+                surv = np.empty(0, dtype=np.int64)
+                break
+            ids, tfs, _dls = decode_blocks_batch(
+                g["first_id"].to_numpy(np.int64),
+                g["last_id"].to_numpy(np.int64),
+                g["n"].to_numpy(np.int64),
+                list(g["ids"]),
+                list(g["tfs"]),
+                list(g["dls"]),
+                g["codec"].to_numpy(np.int64),
+            )
+            poss_bufs = list(g["poss"])
+            if any(b is None for b in poss_bufs):
+                raise ValueError("segment lacks positions (store_positions off)")
+            pos = decode_positions(tfs, b"".join(poss_bufs))
+            keys = (np.repeat(ids, tfs) << _POS_SHIFT) | pos.astype(np.int64)
+            # ascending by construction: ids ascend, positions ascend in-posting
+            if j == 0:
+                surv = keys
+            else:
+                want = surv + 1
+                surv = want[_member(want, keys)]
+            if surv.size == 0:
+                break
+        docs = (
+            np.unique(surv >> _POS_SHIFT)
+            if surv is not None and surv.size
+            else np.empty(0, dtype=np.int64)
+        )
+        allowed = docs if allowed is None else np.intersect1d(allowed, docs)
+        if allowed.size == 0:
+            break
+    return allowed if allowed is not None else np.empty(0, dtype=np.int64)
 
 
 def _restriction_sets(restrict: pd.DataFrame, filter_present: bool, bitmap_sel: float):

@@ -41,7 +41,7 @@ def test_block_roundtrip(n, block_size):
     blocks = encode_posting_blocks(ids, tfs, dls, block_size)
     got_ids, got_tfs, got_dls = [], [], []
     for blk in blocks:
-        block_id, bn, first, last, ib, tb, db, max_tf, min_dl, sum_tf, codec = blk
+        block_id, bn, first, last, ib, tb, db, max_tf, min_dl, sum_tf, codec, poss = blk
         bids = decode_block_ids(first, bn, ib, codec)
         assert bids[0] == first and bids[-1] == last
         btfs = decode_block_tfs(bn, tb, codec)
@@ -94,14 +94,14 @@ def test_codec_tiers_mixed_batch_decode():
         np.array([5, 9, 12]), np.array([1, 2, 3]), np.array([10, 20, 30]),
         block_size=128, min_compress_postings=8,
     )
-    assert all(b[-1] == CODEC_RAW for b in short)
+    assert all(b[10] == CODEC_RAW for b in short)
     n = 500
     ids = np.sort(rng.choice(100000, size=n, replace=False)).astype(np.int64)
     longb = encode_posting_blocks(
         ids, rng.integers(1, 9, n), rng.integers(20, 99, n),
         block_size=64, min_compress_postings=8,
     )
-    assert all(b[-1] == CODEC_VARINT for b in longb)
+    assert all(b[10] == CODEC_VARINT for b in longb)
     # interleave: raw blocks first (ids 5..12 < long ids? ensure ordering)
     mixed = short + longb if short[0][2] < longb[0][2] else longb + short
     g_ids, g_tfs, g_dls = decode_blocks_batch(
@@ -113,3 +113,44 @@ def test_codec_tiers_mixed_batch_decode():
     exp_tfs = np.concatenate([decode_block_tfs(b[1], b[5], b[10]) for b in mixed])
     exp_dls = np.concatenate([decode_block_dls(b[1], b[6], b[10]) for b in mixed])
     assert (g_ids == exp_ids).all() and (g_tfs == exp_tfs).all() and (g_dls == exp_dls).all()
+
+
+def test_positions_roundtrip():
+    from pysearch.codec import decode_positions, encode_positions
+
+    rng = np.random.default_rng(5)
+    n = 400
+    ids = np.sort(rng.choice(8000, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 6, n).astype(np.int64)
+    dls = rng.integers(20, 99, n).astype(np.int64)
+    # ascending positions per posting
+    pos = np.concatenate([np.sort(rng.choice(2000, size=t, replace=False)) for t in tfs])
+    blocks = encode_posting_blocks(ids, tfs, dls, 64, positions_concat=pos)
+    got = []
+    off = 0
+    for b in blocks:
+        btfs = decode_block_tfs(b[1], b[5], b[10])
+        got.append(decode_positions(btfs, b[11]))
+    got = np.concatenate(got)
+    assert (got == pos).all()
+    # stitched multi-block decode: concatenated streams + concatenated tfs
+    all_tfs = np.concatenate([decode_block_tfs(b[1], b[5], b[10]) for b in blocks])
+    stitched = decode_positions(all_tfs, b"".join(b[11] for b in blocks))
+    assert (stitched == pos).all()
+
+
+def test_positions_roundtrip_unsorted_input():
+    """encode_posting_blocks sorts by id internally; positions must follow."""
+    from pysearch.codec import decode_positions
+
+    ids = np.array([30, 10, 20])
+    tfs = np.array([2, 1, 3])
+    dls = np.array([50, 60, 70])
+    pos = np.array([5, 9,  2,  1, 4, 8])  # posting-major for input order
+    blocks = encode_posting_blocks(ids, tfs, dls, 128, positions_concat=pos)
+    (b,) = blocks
+    btfs = decode_block_tfs(b[1], b[5], b[10])
+    bids = decode_block_ids(b[2], b[1], b[4], b[10])
+    got = decode_positions(btfs, b[11])
+    assert bids.tolist() == [10, 20, 30] and btfs.tolist() == [1, 3, 2]
+    assert got.tolist() == [2, 1, 4, 8, 5, 9]

@@ -139,3 +139,29 @@ def test_prefix_query_rank_identity(spark, built):
     exp = si.expand_prefix("tok01")
     assert exp == sorted(exp) and len(exp) <= si.MAX_PREFIX_EXPANSIONS
     assert all(t.startswith("tok01") for t in exp) and exp
+
+
+def test_phrase_query_rank_identity(spark, built):
+    """Quoted phrases filter to exact adjacent token runs (positions tier),
+    component terms still score — identical to the oracle's adjacency rule."""
+    idx, ids = built
+    si = SearchIndex(spark, idx)
+    # find a phrase that actually occurs: take two adjacent tokens of doc 0
+    from pysearch.analyze import tokenize_text
+
+    content0 = ids.where("doc_id = 0").collect()[0]["content"]
+    t = tokenize_text(content0)
+    phrase = f'"{t[10]} {t[11]}"'
+    for q in [phrase, f"{phrase} license"]:
+        eng = si.search(Query(text=q, k=10))
+        orc = bm25_topk(ids, q, k=10, config=CFG)
+        assert _pairs(eng) == _pairs(orc), q
+        assert eng.count() > 0, q
+        assert 0 in [r["doc_id"] for r in eng.collect()] or eng.count() == 10
+    # non-occurring phrase (terms exist, adjacency doesn't have to)
+    rare = '"tok1500 tok1501"'
+    eng = si.search(Query(text=rare, k=10))
+    orc = bm25_topk(ids, rare, k=10, config=CFG)
+    assert _pairs(eng) == _pairs(orc)
+    # phrase with an OOV term can never match
+    assert si.search(Query(text='"license zzznope"', k=10)).count() == 0
