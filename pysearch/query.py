@@ -283,6 +283,10 @@ class SearchIndex:
         postings = self._postings_df.where(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
+        if not phrases:
+            # column pruning: the positions payload (~half the bytes) is
+            # only read when a phrase needs it
+            postings = postings.drop("poss")
 
         restrict = self._restrictions(query)
         seg_docs = {s: self.manifests[s]["num_docs"] for s in self.segments}
@@ -394,7 +398,7 @@ class SearchIndex:
         buckets = sorted({bucket_of(t, cfg.term_buckets) for t in live_terms})
         postings = self._postings_df.where(
             F.col("bucket").isin(buckets) & F.col("term").isin(live_terms)
-        )
+        ).drop("poss")  # no phrases in batch mode -> never read positions
 
         # per-query accept sets (+ shared tombstones under qid = -1): ALL
         # filters evaluate in ONE docmap pass — each row emits the array of
