@@ -296,7 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fingerprint"] = lambda s, d: text_ops.fingerprint(_docs(s, d))
     q["text_winnow_fingerprint"] = lambda s, d: text_ops.winnow_fingerprints(
         _docs(s, d)
-    ).select("doc_id", F.size("sig").cast("long").alias("n_sig"))
+    ).select("doc_id", F.explode("sig").alias("h"))
 
     # ---- dedup -------------------------------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d))
@@ -541,6 +541,22 @@ FROM g
     o["text_fingerprint"] = f"""
 SELECT doc_id, md5(array_to_string({tok}, ' ')) AS fingerprint FROM documents
 """
+    # winnowing: the engine's poly hash + k-gram fold + window minima are
+    # SQL-replicable bit-for-bit (pysearch/ops/hashing.py docstring); the
+    # exploded (doc_id, hash) rows are compared exactly
+    from pysearch.ops.hashing import POLY_MOD, poly_hash_sql, poly_hash63_sql
+
+    _M = POLY_MOD
+    _p50 = poly_hash_sql("s")
+    o["text_winnow_fingerprint"] = f"""
+WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, s -> {_p50}) AS th FROM t),
+g AS (SELECT doc_id, CASE WHEN len(th) >= 4 THEN list_transform(generate_series(1, len(th)-3), i ->
+      ((((((th[i]*31 + th[i+1]) % {_M})*31 + th[i+2]) % {_M})*31 + th[i+3]) % {_M})) ELSE [] END AS kh FROM h),
+w AS (SELECT doc_id, CASE WHEN len(kh)=0 THEN [] ELSE list_transform(generate_series(1, greatest(len(kh)-4,1)), j -> list_min(kh[j:j+4])) END AS wm FROM g),
+s AS (SELECT doc_id, list_sort(list_distinct(wm)) AS sig FROM w)
+SELECT doc_id, unnest(sig) AS h FROM s
+"""
 
     o["dedup_exact"] = """
 SELECT doc_id,
@@ -558,6 +574,35 @@ p AS (
 SELECT id_a, id_b,
        CAST(round(inter * 1.0 / (sa + sb - inter), 6) AS DOUBLE) AS jaccard
 FROM p WHERE inter * 1.0 / (sa + sb - inter) >= 0.95
+"""
+    # minhash-LSH verifies candidates with EXACT jaccard (precision 1.0) and
+    # at 4-row/16-band parameters a true pair at tau=0.95 is missed with
+    # probability (1 - 0.95^4)^16 ~ 2e-12 — so the exact-jaccard pair set IS
+    # the oracle (any miss is a real defect, not sketch noise)
+    o["dedup_minhash_lsh"] = f"""
+WITH t AS (SELECT doc_id, list_distinct({tok}) AS ts FROM documents),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.ts, b.ts)) AS inter, len(a.ts) AS sa, len(b.ts) AS sb
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b FROM p WHERE inter * 1.0 / (sa + sb - inter) >= 0.95
+"""
+    # simhash signatures are bit-exact in SQL (63-bit two-base poly hash) and
+    # banding recall is EXACT by pigeonhole (4 bands, <= 3 differing bits ->
+    # one band identical), so the full hamming-pair set is the oracle
+    _p63 = poly_hash63_sql("t")
+    o["dedup_simhash"] = f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS t FROM documents),
+tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, t),
+hh AS (SELECT doc_id, tf, {_p63} AS h FROM tf),
+bits AS (SELECT doc_id, b, sum(tf * (CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) AS s
+         FROM hh, (SELECT unnest(generate_series(0,63)) AS b) bb GROUP BY doc_id, b),
+sig0 AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash FROM bits GROUP BY doc_id),
+sig AS (SELECT d.doc_id, coalesce(s0.simhash, 0) AS simhash FROM documents d LEFT JOIN sig0 s0 USING (doc_id))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
     o["embedding_neardup"] = """
@@ -678,7 +723,7 @@ SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
   FROM orders
 ) WHERE rk <= 3
 """
-    # rows-only (non-SQL-expressible or sketch-dependent):
-    #   mmr_rerank_topk, text_winnow_fingerprint, dedup_minhash_lsh,
-    #   dedup_simhash, embedding_neardup_lsh, ann_cosine_ivf
+    # rows-only (approximation quality is parameter-dependent; machine-checked
+    # instead by the recall/agreement invariants in tests/test_entry.py):
+    #   mmr_rerank_topk, embedding_neardup_lsh, ann_cosine_ivf
     return o
