@@ -108,6 +108,16 @@ def _tokenize_tf_factory(term_buckets: int, code_aware: bool, store_positions: b
             toks = pdf["content"].map(tok)
             dl = toks.map(len).astype("int32")
             dl_np = dl.to_numpy()
+            if store_positions and dl_np.size and int(dl_np.max()) >= (1 << 22):
+                # phrase keys pack position into 22 bits (query._POS_SHIFT);
+                # fail loudly at index time instead of silently corrupting
+                # phrase matches at query time
+                bad = pdf["doc_id"].to_numpy()[dl_np >= (1 << 22)][:3]
+                raise ValueError(
+                    "store_positions=True requires doc length < 2^22 tokens; "
+                    f"docs {bad.tolist()} exceed it — split them or build "
+                    "with store_positions=False"
+                )
             total = int(dl_np.sum())
             doc_ids = pdf["doc_id"].to_numpy().repeat(dl_np)
             terms = np.concatenate(
@@ -296,7 +306,14 @@ def build_segment_from_df(
             for (_, t0_), (label, t1) in zip(marks, marks[1:])
         )
         print(f"[timing] {segment_id}: {deltas}", file=sys.stderr, flush=True)
-    meta.append_commit(key, op="add", adds=[segment_id], extra={"source": source})
+    meta.append_commit(
+        key,
+        op="add",
+        adds=[segment_id],
+        # doc-id high-watermark: appends allocate ABOVE every id ever
+        # assigned, even after compactions drop the top tombstoned docs
+        extra={"source": source, "doc_id_max": manifest["doc_id_max"]},
+    )
     return manifest
 
 
@@ -454,10 +471,10 @@ def _staged_segments(staging: str) -> list[int]:
 
 
 def next_doc_id(meta: IndexMeta) -> int:
-    manifests = meta.live_manifests()
-    if not manifests:
-        return 0
-    return max(m["doc_id_max"] for m in manifests.values()) + 1
+    """Next append base = commit-log high-watermark + 1 (NOT the live
+    manifests' max, which can shrink after a compact merge drops the highest
+    tombstoned docs and would reuse their ids)."""
+    return meta.doc_id_hwm() + 1
 
 
 def append_segment(

@@ -34,11 +34,17 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from dataclasses import asdict
 from typing import Any
 
 from pysearch.config import IndexConfig
+
+# serializes commit-sequence allocation across the driver's builder threads
+# (build_index commits segments from a thread pool); cross-process writers
+# are handled by the exclusive-create in append_commit
+_COMMIT_LOCK = threading.Lock()
 
 
 def _write_json_atomic(path: str, payload: dict) -> None:
@@ -93,7 +99,11 @@ class IndexMeta:
     def _commit_files(self) -> list[str]:
         if not os.path.isdir(self.commits_dir):
             return []
-        return sorted(f for f in os.listdir(self.commits_dir) if f.endswith(".json"))
+        return sorted(
+            f
+            for f in os.listdir(self.commits_dir)
+            if f.endswith(".json") and not f.startswith(".")
+        )
 
     def commits(self) -> list[dict]:
         return [json.load(open(os.path.join(self.commits_dir, f))) for f in self._commit_files()]
@@ -112,24 +122,36 @@ class IndexMeta:
         extra: dict | None = None,
     ) -> bool:
         """Append a commit; returns False if `key` was already committed
-        (idempotent re-run)."""
-        if self.has_commit(key):
-            return False
-        seq = len(self._commit_files())
-        payload: dict[str, Any] = {
-            "seq": seq,
-            "key": key,
-            "op": op,
-            "adds": adds or [],
-            "removes": removes or [],
-            "deleted_doc_ids": deleted_doc_ids or [],
-        }
-        if extra:
-            payload["extra"] = extra
-        _write_json_atomic(
-            os.path.join(self.commits_dir, f"{seq:08d}__{key}.json"), payload
-        )
-        return True
+        (idempotent re-run). Sequence numbers are unique and ordered even
+        under concurrent appenders: allocation is lock-serialized in-process
+        and the commit file is claimed with an exclusive create (os.link onto
+        a unique temp file fails if the seq was taken), retrying on collision.
+        """
+        with _COMMIT_LOCK:
+            if self.has_commit(key):
+                return False
+            tmp = os.path.join(self.commits_dir, f".tmp__{key}.{os.getpid()}.json")
+            seq = len(self._commit_files())
+            while True:
+                payload: dict[str, Any] = {
+                    "seq": seq,
+                    "key": key,
+                    "op": op,
+                    "adds": adds or [],
+                    "removes": removes or [],
+                    "deleted_doc_ids": deleted_doc_ids or [],
+                }
+                if extra:
+                    payload["extra"] = extra
+                with open(tmp, "w") as f:
+                    json.dump(payload, f, sort_keys=True, indent=1)
+                final = os.path.join(self.commits_dir, f"{seq:08d}__{key}.json")
+                try:
+                    os.link(tmp, final)  # atomic + exclusive claim of `seq`
+                    os.unlink(tmp)
+                    return True
+                except FileExistsError:
+                    seq += 1  # another writer took this seq — retry
 
     def live_segments(self) -> list[str]:
         live: list[str] = []
@@ -151,6 +173,20 @@ class IndexMeta:
             if c.get("extra", {}).get("tombstones_cleared"):
                 dead.difference_update(c["extra"]["tombstones_cleared"])
         return dead
+
+    def doc_id_hwm(self) -> int:
+        """Monotonic doc-id high-watermark: the max doc_id EVER assigned,
+        replayed from the commit log (``extra.doc_id_max`` stamped by every
+        build/append commit). Live manifests alone are not enough — a compact
+        merge that drops the highest tombstoned docs shrinks their
+        doc_id_max, and allocating appends from it would silently reuse ids
+        of deleted documents."""
+        hwm = -1
+        for c in self.commits():
+            hwm = max(hwm, int(c.get("extra", {}).get("doc_id_max", -1)))
+        for m in self.live_manifests().values():
+            hwm = max(hwm, int(m.get("doc_id_max", -1)))
+        return hwm
 
     # -- manifests ---------------------------------------------------------
     def write_manifest(self, segment_id: str, manifest: dict) -> None:

@@ -172,6 +172,13 @@ class SearchIndex:
                 toks = fn(raw[:-1])
                 if not toks:
                     continue
+                # a code-aware analyzer may split the starred token into
+                # several subtokens (fooBar* -> [foo, bar*]): the leading
+                # subtokens score as normal terms, only the final one expands
+                for t in toks[:-1]:
+                    if t not in seen:
+                        seen.add(t)
+                        out.append(t)
                 for t in self.expand_prefix(toks[-1]):
                     if t not in seen:
                         seen.add(t)
@@ -291,6 +298,11 @@ class SearchIndex:
         restrict = self._restrictions(query)
         seg_docs = {s: self.manifests[s]["num_docs"] for s in self.segments}
 
+        # k mode: per-segment candidates are truncated to k * overquery
+        # (clamped) before the global reduce. min_score (radial) mode keeps
+        # EVERY candidate >= min_score — a truncation there would silently
+        # drop hits from dense segments (the result set is unbounded by
+        # contract, exactly like the oracle's WHERE s >= min_score).
         k_final = query.k if query.k is not None else 10_000
         oq = query.overquery_factor or cfg.overquery_factor
         kernel = _segment_search_factory(
@@ -299,7 +311,7 @@ class SearchIndex:
             b=cfg.b,
             avgdl=self.avgdl,
             k=k_final,
-            k_keep=min(k_final * oq, 10_000),
+            k_keep=min(k_final * oq, 10_000) if query.min_score is None else None,
             min_score=query.min_score,
             filter_present=query.filter_expr is not None,
             seg_docs=seg_docs,
@@ -380,7 +392,9 @@ class SearchIndex:
                 {
                     "qid": qid,
                     "terms": terms,
-                    "k": q.k if q.k is not None else 10_000,
+                    # min_score (radial) queries are unbounded by contract:
+                    # no per-segment or global truncation (mirrors search())
+                    "k": q.k if q.k is not None else (1 << 40),
                     "min_score": q.min_score,
                     "has_filter": q.filter_expr is not None,
                 }
@@ -602,8 +616,10 @@ def _batch_search_factory(
             if info["min_score"] is not None:
                 keep = scores >= info["min_score"]
                 ids, scores = ids[keep], scores[keep]
-            k_keep = min(info["k"] * overquery, 10_000)
-            order = np.lexsort((ids, -scores))[:k_keep]
+                order = np.lexsort((ids, -scores))
+            else:
+                k_keep = min(info["k"] * overquery, 10_000)
+                order = np.lexsort((ids, -scores))[:k_keep]
             outs.append(
                 pd.DataFrame(
                     {
@@ -630,7 +646,7 @@ def _segment_search_factory(
     b: float,
     avgdl: float,
     k: int,
-    k_keep: int,
+    k_keep: int | None,
     min_score: float | None,
     filter_present: bool,
     seg_docs: dict[str, int],
@@ -667,7 +683,8 @@ def _segment_search_factory(
             ids, scores = ids[keep], scores[keep]
         n_cand = int(ids.size)
         order = np.lexsort((ids, -scores))
-        order = order[: min(k_keep, order.size)]
+        if k_keep is not None:
+            order = order[: min(k_keep, order.size)]
         ids, scores = ids[order], scores[order]
         strategy = "taat" if brute else "block_max_maxscore"
         out = pd.DataFrame(
