@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pysearch.build import build_index
+from pysearch.checkpoint import IndexMeta
 from pysearch.config import IndexConfig
 from pysearch.corpus import corpus_from_documents
 from pysearch.merge import delete_docs, force_merge
@@ -77,13 +78,10 @@ def _ensure_deleted_index(spark: SparkSession, sf_dir: str) -> str:
     idx = _index_dir(sf_dir, "deleted")
     corpus = corpus_from_documents(spark, sf_dir)
     build_index(spark, corpus, idx, ENTRY_CFG)
-    si = SearchIndex(spark, idx)
-    if not si.meta.has_commit("delete_mod37"):
-        dead = [
-            r["doc_id"]
-            for r in si.docmaps().where("doc_id % 37 = 0").select("doc_id").collect()
-        ]
-        delete_docs(spark, idx, key="mod37", doc_ids=dead)
+    meta = IndexMeta(idx)
+    if not meta.has_commit("delete_mod37"):
+        # predicate delete: docmap scan -> parquet delete file, no collect
+        delete_docs(spark, idx, key="mod37", where="doc_id % 37 = 0")
         force_merge(spark, idx, max_segments=1, compact=True)
     return idx
 

@@ -21,9 +21,10 @@ append-only JSON commit log (the Iceberg-snapshot pattern):
   directory invisible (garbage, collectable) — never a mixed state.
 * Manifests are deterministic (no timestamps) so a resumed build reproduces
   them byte-identically; wall-times live in metrics, not manifests.
-* Tombstones (deleted doc ids) ride in ``delete`` commits. At test scale
-  they are inlined in the JSON; at 10^12-file scale the commit would carry a
-  parquet file reference instead — the log schema already has the field.
+* Tombstones (deleted doc ids) live in parquet DELETE FILES under
+  ``deletes/``, referenced from ``delete`` commits; a compact merge commits a
+  rewritten ``reset_file`` with the survivors (Iceberg delete-file / Lucene
+  liveDocs-generation pattern) — ids never ride in JSON or in query plans.
 
 All writes are atomic: write ``<file>.tmp`` then ``os.replace``. On a real
 deployment this layer maps onto Iceberg table commits / a DFS with atomic
@@ -163,15 +164,128 @@ class IndexMeta:
                 live.append(s)
         return sorted(live)
 
-    def tombstones(self) -> set[int]:
-        """Deleted doc ids not yet compacted away. A compact-merge commit
-        clears the tombstones of the segments it replaces via the
-        ``cleared`` marker in extra."""
-        dead: set[int] = set()
+    # -- tombstones ----------------------------------------------------------
+    # Deleted doc ids live in PARQUET DELETE FILES under index_dir/deletes/,
+    # referenced from delete commits (``extra.delete_file``) — never inlined
+    # in JSON or in query plans, so a 10M-doc delete costs one small parquet
+    # file and a distributed anti-join, not a driver list (the Iceberg
+    # delete-file pattern). A compact merge REWRITES the state: its commit
+    # carries ``extra.tombstones_reset`` + ``reset_file`` holding the
+    # tombstones that survive the compaction (Lucene liveDocs-generation
+    # analog). Replay = fold events in commit order. Legacy inline
+    # ``deleted_doc_ids`` / ``tombstones_cleared`` commits are still replayed
+    # for old indexes.
+
+    def deletes_dir(self) -> str:
+        return os.path.join(self.index_dir, "deletes")
+
+    def delete_file_rel(self, key: str) -> str:
+        return os.path.join("deletes", f"{key}.parquet")
+
+    def tombstone_events(self) -> list[tuple[str, Any]]:
+        """Ordered tombstone replay events:
+        ("reset", rel_path | None) | ("add_file", rel_path) |
+        ("add_inline", ids) | ("sub_inline", ids)."""
+        ev: list[tuple[str, Any]] = []
         for c in self.commits():
-            dead.update(c.get("deleted_doc_ids", []))
-            if c.get("extra", {}).get("tombstones_cleared"):
-                dead.difference_update(c["extra"]["tombstones_cleared"])
+            ex = c.get("extra", {})
+            if ex.get("tombstones_reset"):
+                ev.append(("reset", ex.get("reset_file")))
+            elif ex.get("tombstones_cleared"):
+                ev.append(("sub_inline", ex["tombstones_cleared"]))
+            if ex.get("delete_file"):
+                ev.append(("add_file", ex["delete_file"]))
+            if c.get("deleted_doc_ids"):
+                ev.append(("add_inline", c["deleted_doc_ids"]))
+        return ev
+
+    def tombstone_count(self) -> int:
+        """Exact current tombstone count, replayed from the per-commit counts
+        (delete files are written pre-deduplicated against the prior state,
+        so counts are additive). O(commits), no file reads."""
+        n = 0
+        for kind, val in self._tombstone_count_events():
+            if kind == "reset":
+                n = val
+            else:
+                n += val
+        return n
+
+    def _tombstone_count_events(self) -> list[tuple[str, int]]:
+        ev: list[tuple[str, int]] = []
+        for c in self.commits():
+            ex = c.get("extra", {})
+            if ex.get("tombstones_reset"):
+                ev.append(("reset", int(ex.get("reset_count", 0))))
+            elif ex.get("tombstones_cleared"):
+                ev.append(("add", -len(ex["tombstones_cleared"])))
+            if ex.get("delete_file"):
+                ev.append(("add", int(ex.get("delete_count", 0))))
+            if c.get("deleted_doc_ids"):
+                ev.append(("add", len(c["deleted_doc_ids"])))
+        return ev
+
+    def tombstones_df(self, spark) -> "Any | None":
+        """Current tombstone set as a DataFrame(doc_id long) — the form every
+        query/merge plan consumes (distributed anti-join, never a collected
+        list). Returns None when no tombstones exist."""
+        from pyspark.sql import functions as F
+
+        if self.tombstone_count() == 0:
+            return None
+        cur = None
+        for kind, val in self.tombstone_events():
+            if kind == "reset":
+                cur = (
+                    spark.read.schema("doc_id long").parquet(
+                        os.path.join(self.index_dir, val)
+                    )
+                    if val
+                    else None
+                )
+            elif kind == "add_file":
+                df = spark.read.schema("doc_id long").parquet(
+                    os.path.join(self.index_dir, val)
+                )
+                cur = df if cur is None else cur.unionByName(df)
+            elif kind == "add_inline":
+                df = spark.createDataFrame([(int(i),) for i in val], "doc_id long")
+                cur = df if cur is None else cur.unionByName(df)
+            elif kind == "sub_inline" and cur is not None:
+                cur = cur.where(~F.col("doc_id").isin([int(i) for i in val]))
+        return cur
+
+    def tombstones(self) -> set[int]:
+        """Driver-side materialized tombstone set — an admin/test convenience
+        for SMALL states only; query and merge plans use tombstones_df()."""
+        import pyarrow.parquet as pq
+
+        def read_ids(rel: str) -> set[int]:
+            path = os.path.join(self.index_dir, rel)
+            files = (
+                [
+                    os.path.join(path, f)
+                    for f in sorted(os.listdir(path))
+                    if f.endswith(".parquet")
+                ]
+                if os.path.isdir(path)
+                else [path]
+            )
+            out: set[int] = set()
+            for f in files:
+                out.update(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+            return out
+
+        dead: set[int] = set()
+        for kind, val in self.tombstone_events():
+            if kind == "reset":
+                dead = read_ids(val) if val else set()
+            elif kind == "add_file":
+                dead |= read_ids(val)
+            elif kind == "add_inline":
+                dead.update(int(i) for i in val)
+            elif kind == "sub_inline":
+                dead.difference_update(int(i) for i in val)
         return dead
 
     def doc_id_hwm(self) -> int:

@@ -131,18 +131,21 @@ def merge_segments(
     config = meta.load_config()
     seg_ids = sorted(seg_ids)
 
-    # which tombstones live inside these segments (liveDocs analog, M6)
-    dead_all = meta.tombstones()
+    # which tombstones live inside these segments (liveDocs analog, M6) —
+    # a distributed semi-join against the delete files, never a driver list
+    dead_all_df = meta.tombstones_df(spark)
     docmaps = _union_docmaps(spark, meta, seg_ids)
-    if dead_all:
-        dead_here = [
-            r["doc_id"]
-            for r in docmaps.where(F.col("doc_id").isin(sorted(dead_all))).select("doc_id").collect()
-        ]
+    if dead_all_df is not None:
+        dead_here_df = (
+            docmaps.select("doc_id")
+            .join(dead_all_df, "doc_id", "left_semi")
+            .persist()
+        )
+        n_dead = dead_here_df.count()
     else:
-        dead_here = []
+        dead_here_df, n_dead = None, 0
     total_docs = sum(meta.read_manifest(s)["num_docs"] for s in seg_ids)
-    density = (len(dead_here) / total_docs) if total_docs else 0.0
+    density = (n_dead / total_docs) if total_docs else 0.0
     if compact is None:
         # density guard (JVectorWriter.java:695-699 analog): too many
         # tombstones -> incremental merge is not worth it, rebuild instead
@@ -154,11 +157,13 @@ def merge_segments(
     new_seg = f"seg_m_{digest}"
     key = f"merge_{new_seg}"
     if meta.has_commit(key):
+        if dead_here_df is not None:
+            dead_here_df.unpersist()
         return new_seg
 
     t0 = time.time()
     if compact:
-        _compact_rewrite(spark, meta, config, seg_ids, new_seg, dead_here)
+        _compact_rewrite(spark, meta, config, seg_ids, new_seg, dead_here_df)
     else:
         _incremental_union(spark, meta, config, seg_ids, new_seg)
 
@@ -171,22 +176,33 @@ def merge_segments(
             "type": "merge",
             "inputs": seg_ids,
             "mode": "compact" if compact else "incremental",
-            "tombstones_dropped": len(dead_here) if compact else 0,
+            "tombstones_dropped": n_dead if compact else 0,
         },
         t0=t0,
         stage="merge",
     )
-    meta.append_commit(
-        key,
-        op="replace",
-        adds=[new_seg],
-        removes=seg_ids,
-        extra={
-            "mode": "compact" if compact else "incremental",
-            "tombstones_cleared": dead_here if compact else [],
-            "merge_wall_time_sec": time.time() - t0,  # KNN_GRAPH_MERGE_TIME analog
-        },
-    )
+    extra = {
+        "mode": "compact" if compact else "incremental",
+        "merge_wall_time_sec": time.time() - t0,  # KNN_GRAPH_MERGE_TIME analog
+    }
+    if compact and dead_all_df is not None:
+        # rewrite the tombstone state: survivors = global set minus the ids
+        # this compaction dropped (a distributed anti-join + tiny parquet
+        # write — the liveDocs-generation rewrite; ids never enter the JSON)
+        remaining = dead_all_df.join(dead_here_df, "doc_id", "left_anti")
+        r_n = remaining.count()
+        rel = None
+        if r_n:
+            rel = meta.delete_file_rel(f"reset_{new_seg}")
+            remaining.write.mode("overwrite").parquet(
+                os.path.join(meta.index_dir, rel)
+            )
+        extra.update(
+            {"tombstones_reset": True, "reset_file": rel, "reset_count": r_n}
+        )
+    meta.append_commit(key, op="replace", adds=[new_seg], removes=seg_ids, extra=extra)
+    if dead_here_df is not None:
+        dead_here_df.unpersist()
     return new_seg
 
 
@@ -280,14 +296,16 @@ def _decode_factory(with_positions: bool):
     return decode
 
 
-def _compact_rewrite(spark, meta, config, seg_ids, new_seg, dead_here):
+def _compact_rewrite(spark, meta, config, seg_ids, new_seg, dead_df):
     """Compaction rebuild (M3/M4 fallback/M6): decode all inputs' postings,
     drop tombstoned docs, re-encode. Global doc ids are stable (they ARE the
     primary identity, unlike Lucene ordinals), so no renumbering is needed —
     the docmap simply loses the dead rows; collection stats become exact
-    again. Runs distributed: decode via mapInPandas, re-encode via the same
-    bucketed applyInPandas as the build path (M5: identical compression
-    parameters are reused by construction)."""
+    again. Runs distributed end to end: decode via mapInPandas, dead docs
+    masked by an anti-join against the delete-file DataFrame (AQE broadcasts
+    it while it fits, shuffles when it doesn't — ids never ride the driver),
+    re-encode via the same bucketed applyInPandas as the build path (M5:
+    identical compression parameters are reused by construction)."""
     os.makedirs(meta.segment_dir(new_seg), exist_ok=True)
     blocks = [
         spark.read.schema(BLOCK_SCHEMA).parquet(meta.postings_path(s))
@@ -299,9 +317,8 @@ def _compact_rewrite(spark, meta, config, seg_ids, new_seg, dead_here):
     rows = allb.mapInPandas(
         _decode_factory(config.store_positions), schema=_POSTING_ROW_SCHEMA
     )
-    if dead_here:
-        dead_df = spark.createDataFrame([(int(d),) for d in dead_here], "doc_id long")
-        rows = rows.join(F.broadcast(dead_df), "doc_id", "left_anti")
+    if dead_df is not None:
+        rows = rows.join(dead_df, "doc_id", "left_anti")
     reenc = rows.groupBy("bucket").applyInPandas(
         _encode_bucket_factory(
             config.block_size, config.min_block_docs,
@@ -313,8 +330,8 @@ def _compact_rewrite(spark, meta, config, seg_ids, new_seg, dead_here):
         meta.postings_path(new_seg)
     )
     dm = _union_docmaps(spark, meta, seg_ids)
-    if dead_here:
-        dm = dm.where(~F.col("doc_id").isin([int(d) for d in dead_here]))
+    if dead_df is not None:
+        dm = dm.join(dead_df, "doc_id", "left_anti")
     (
         dm.repartitionByRange(4, "doc_id")
         .sortWithinPartitions("doc_id")
@@ -333,25 +350,47 @@ def delete_docs(
     key: str,
     doc_ids: list[int] | None = None,
     where: str | None = None,
+    doc_ids_df: DataFrame | None = None,
 ) -> int:
-    """Tombstone docs by id or by predicate over identity columns.
+    """Tombstone docs by id, by predicate over identity columns, or by an
+    id-carrying DataFrame (the fully-distributed path for bulk deletes).
     Queries mask them immediately; stats update at the next compaction
-    (Lucene liveDocs semantics). Idempotent per `key`."""
+    (Lucene liveDocs semantics). Idempotent per `key`.
+
+    Scale path: the dead ids are written as a PARQUET DELETE FILE referenced
+    from the commit (never inlined in JSON or plans) — a ``where`` predicate
+    deleting 10% of a 10^9-doc corpus stays distributed end to end: docmap
+    scan -> dedup vs existing tombstones (anti-join) -> parquet write."""
     meta = IndexMeta(index_dir)
     if meta.has_commit(f"delete_{key}"):
         return 0
-    if doc_ids is None:
+    if doc_ids_df is not None:
+        dead = doc_ids_df.select(F.col("doc_id").cast("long")).distinct()
+    elif doc_ids is None:
         if where is None:
-            raise ValueError("need doc_ids or where")
+            raise ValueError("need doc_ids, doc_ids_df or where")
         live = meta.live_segments()
         dms = [spark.read.parquet(meta.docmap_path(s)) for s in live]
         dm = dms[0]
         for d in dms[1:]:
             dm = dm.unionByName(d)
-        doc_ids = [r["doc_id"] for r in dm.where(where).select("doc_id").collect()]
-    doc_ids = sorted(set(int(d) for d in doc_ids) - meta.tombstones())
-    meta.append_commit(f"delete_{key}", op="delete", deleted_doc_ids=doc_ids)
-    return len(doc_ids)
+        dead = dm.where(where).select(F.col("doc_id").cast("long")).distinct()
+    else:
+        dead = spark.createDataFrame(
+            [(int(d),) for d in set(doc_ids)], "doc_id long"
+        )
+    existing = meta.tombstones_df(spark)
+    if existing is not None:
+        dead = dead.join(existing, "doc_id", "left_anti")
+    rel = meta.delete_file_rel(key)
+    path = os.path.join(meta.index_dir, rel)
+    os.makedirs(meta.deletes_dir(), exist_ok=True)
+    dead.write.mode("overwrite").parquet(path)
+    n = spark.read.schema("doc_id long").parquet(path).count()
+    meta.append_commit(
+        f"delete_{key}", op="delete", extra={"delete_file": rel, "delete_count": n}
+    )
+    return n
 
 
 def apply_updates(
@@ -372,8 +411,9 @@ def apply_updates(
 
     keys = spark.createDataFrame(updates[["repo", "path", "op"]])
     affected = dm.join(keys, ["repo", "path"], "inner").select("doc_id", "op")
-    dead = [r["doc_id"] for r in affected.collect()]
-    n_dead = delete_docs(spark, index_dir, key=batch_key, doc_ids=dead)
+    n_dead = delete_docs(
+        spark, index_dir, key=batch_key, doc_ids_df=affected.select("doc_id")
+    )
 
     upd = updates[updates["op"] == "update"]
     new_seg = None

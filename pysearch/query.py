@@ -127,7 +127,9 @@ class SearchIndex:
     def refresh(self) -> None:
         self.manifests = self.meta.live_manifests()
         self.segments = sorted(self.manifests)
-        self.tombstones = self.meta.tombstones()
+        # tombstones as a DataFrame over the commit log's delete files —
+        # deleted ids never enter the driver or the plan as literals
+        self._tombstones_df = self.meta.tombstones_df(self.spark)
         # Lucene semantics: deleted docs stay in the collection stats until
         # a compact merge rewrites the segment
         self.num_docs = sum(m["num_docs"] for m in self.manifests.values())
@@ -440,15 +442,9 @@ class SearchIndex:
                     F.explode(matches).alias("qid"),
                 )
             )
-        if self.tombstones:
-            parts.append(
-                self.docmaps()
-                .where(F.col("doc_id").isin(sorted(self.tombstones)))
-                .select(
-                    "segment_id", "doc_id", F.lit(0).alias("flag"),
-                    F.lit(-1).alias("qid"),
-                )
-            )
+        deny = self._tombstone_deny()
+        if deny is not None:
+            parts.append(deny.withColumn("qid", F.lit(-1)))
         restrict_schema = T.StructType(
             _RESTRICT_SCHEMA.fields + [T.StructField("qid", T.IntegerType())]
         )
@@ -497,6 +493,28 @@ class SearchIndex:
             "query_id", "rk"
         )
 
+    def _tombstone_deny(self) -> DataFrame | None:
+        """Per-segment deny rows from the delete files. Routing uses the
+        manifest id RANGES (segments own disjoint doc_id ranges), so no
+        docmap scan is needed: each dead id joins to every live segment
+        whose [min, max] covers it — over-delivery to a range-overlapping
+        merged segment is harmless (a deny id absent from the segment masks
+        nothing) and the ranges table is a tiny broadcast."""
+        if self._tombstones_df is None:
+            return None
+        ranges = [
+            (s, int(m["doc_id_min"]), int(m["doc_id_max"]))
+            for s, m in self.manifests.items()
+            if m["num_docs"]
+        ]
+        if not ranges:
+            return None
+        rng = self.spark.createDataFrame(ranges, "segment_id string, lo long, hi long")
+        return self._tombstones_df.join(
+            F.broadcast(rng),
+            (F.col("doc_id") >= F.col("lo")) & (F.col("doc_id") <= F.col("hi")),
+        ).select("segment_id", "doc_id", F.lit(0).alias("flag"))
+
     def _restrictions(self, query: Query) -> DataFrame:
         """Compile filter + tombstones to per-segment accept/deny doc sets —
         the accept-bits pushdown (Q5). Distributed end to end: the sets ride
@@ -508,12 +526,9 @@ class SearchIndex:
             parts.append(
                 dm.select("segment_id", "doc_id", F.lit(1).alias("flag"))
             )
-        if self.tombstones:
-            dead = sorted(self.tombstones)
-            dm = self.docmaps().where(F.col("doc_id").isin(dead))
-            parts.append(
-                dm.select("segment_id", "doc_id", F.lit(0).alias("flag"))
-            )
+        deny = self._tombstone_deny()
+        if deny is not None:
+            parts.append(deny)
         if not parts:
             return spark.createDataFrame([], _RESTRICT_SCHEMA)
         out = parts[0]
