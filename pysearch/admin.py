@@ -17,7 +17,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pysearch.checkpoint import IndexMeta
+from pysearch.checkpoint import IndexMeta, read_parquet_union
 
 
 def verify_index(
@@ -31,9 +31,15 @@ def verify_index(
     summary = {"segments": 0, "docs": 0, "postings": 0, "sha_checked": 0}
     for seg in meta.live_segments():
         m = meta.read_manifest(seg)
-        postings = spark.read.schema(BLOCK_SCHEMA).parquet(meta.postings_path(seg))
-        dictionary = spark.read.parquet(meta.dictionary_path(seg))
-        docmap = spark.read.parquet(meta.docmap_path(seg))
+        postings = read_parquet_union(spark, meta.postings_paths(seg), schema=BLOCK_SCHEMA)
+        # a pointer-merged segment reads several input dictionaries: roll
+        # them up per term before reconciling
+        dictionary = (
+            read_parquet_union(spark, meta.dictionary_paths(seg))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        )
+        docmap = read_parquet_union(spark, meta.docmap_paths(seg))
 
         # postings <-> dictionary reconciliation (per term AND in total)
         p_agg = postings.groupBy("term").agg(
@@ -104,7 +110,7 @@ def global_dictionary(spark: SparkSession, index_dir: str) -> DataFrame:
         return spark.createDataFrame([], "term string, df long, cf long, segments long")
     d = None
     for seg in live:
-        x = spark.read.parquet(meta.dictionary_path(seg))
+        x = read_parquet_union(spark, meta.dictionary_paths(seg))
         d = x if d is None else d.unionByName(x)
     salted = (
         d.withColumn(
@@ -129,15 +135,27 @@ def gc_segments(index_dir: str, dry_run: bool = False) -> list[str]:
     (retired by merges, or orphaned by crashes before their commit). Safe at
     any time: visibility is determined solely by the log, so removal of
     non-live directories cannot affect readers — the Lucene
-    IndexFileDeleter / Iceberg orphan-file-cleanup analog."""
+    IndexFileDeleter / Iceberg orphan-file-cleanup analog.
+
+    A directory is reachable if a LIVE segment either is it or POINTS at it:
+    incrementally-merged segments reference their (retired) inputs' data
+    dirs through manifest storage pointers, which protects those dirs until
+    a compaction rewrites the data."""
     import shutil
 
     meta = IndexMeta(index_dir)
     live = set(meta.live_segments())
+    referenced: set[str] = set(live)
+    for s in live:
+        for kind in ("postings", "docmap", "dictionary"):
+            for rel in meta.storage_rel(s, kind):
+                parts = rel.replace(os.sep, "/").split("/")
+                if len(parts) >= 2 and parts[0] == "segments":
+                    referenced.add(parts[1])
     victims = [
         d
         for d in sorted(os.listdir(meta.segments_dir))
-        if d not in live and os.path.isdir(os.path.join(meta.segments_dir, d))
+        if d not in referenced and os.path.isdir(os.path.join(meta.segments_dir, d))
     ]
     if not dry_run:
         for d in victims:

@@ -48,6 +48,24 @@ from pysearch.config import IndexConfig
 _COMMIT_LOCK = threading.Lock()
 
 
+def read_parquet_union(spark, paths: list[str], schema=None):
+    """Read several parquet roots as one DataFrame via per-root union.
+    Required because bucket-partitioned roots (postings) cannot be listed in
+    a single spark.read.parquet(p1, p2, ...) call — Spark's partition
+    discovery rejects multiple conflicting directory roots. Each root keeps
+    its own scan node, so partition pruning still applies per root."""
+    dfs = []
+    for p in paths:
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        dfs.append(reader.parquet(p))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def _write_json_atomic(path: str, payload: dict) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -329,6 +347,39 @@ class IndexMeta:
 
     def staging_corpus_path(self) -> str:
         return os.path.join(self.staging_dir, "corpus")
+
+    # -- storage resolution --------------------------------------------------
+    # An incrementally-merged segment owns NO data files: its manifest's
+    # ``storage`` maps each kind to the (relative) directories of its inputs
+    # (pure-metadata merge — the zero-copy generalization of the reference's
+    # leading-segment reuse). Readers resolve through these lists; segments
+    # without ``storage`` read their own directory.
+
+    def storage_rel(self, segment_id: str, kind: str) -> list[str]:
+        """Relative data paths of `kind` ('postings'|'docmap'|'dictionary')."""
+        own = {
+            "postings": self.postings_path,
+            "docmap": self.docmap_path,
+            "dictionary": self.dictionary_path,
+        }[kind](segment_id)
+        mf = os.path.join(self.manifest_dir, f"{segment_id}.json")
+        if os.path.exists(mf):
+            st = json.load(open(mf)).get("storage")
+            if st and kind in st:
+                return list(st[kind])
+        return [os.path.relpath(own, self.index_dir)]
+
+    def _abs(self, rels: list[str]) -> list[str]:
+        return [os.path.join(self.index_dir, p) for p in rels]
+
+    def postings_paths(self, segment_id: str) -> list[str]:
+        return self._abs(self.storage_rel(segment_id, "postings"))
+
+    def docmap_paths(self, segment_id: str) -> list[str]:
+        return self._abs(self.storage_rel(segment_id, "docmap"))
+
+    def dictionary_paths(self, segment_id: str) -> list[str]:
+        return self._abs(self.storage_rel(segment_id, "dictionary"))
 
     # -- metrics (KNNCounter / stats analog, StatNames.java:14-58) ----------
     _METRIC_COLS = (

@@ -15,9 +15,10 @@ Reference behavior being mirrored (citations into /root/reference):
 
 Our posting algebra makes the "leading segment" trick *total*: segments own
 disjoint doc_id ranges and blocks address docs by global id, so the union of
-two segments' posting-block sets IS the merged posting list — every input
-segment's blocks are byte-reused (file-level copy, zero decode), not just the
-leader's. That is the incremental path. The compact path (tombstone density
+two segments' posting-block sets IS the merged posting list — the incremental
+merge is therefore PURE METADATA: one manifest pointing at every input's data
+directories, zero bytes moved (no hard links, no copies — identical on S3/
+HDFS). The compact path (tombstone density
 above `max_tombstone_density`, or an explicit force-compact) decodes, drops
 deleted docs, and re-encodes — the "full rebuild" fallback — and clears the
 dropped tombstones so collection statistics return to exact.
@@ -31,7 +32,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import shutil
 import time
 from typing import Iterator
 
@@ -48,7 +48,7 @@ from pysearch.build import (
     bucket_col,
     finalize_segment,
 )
-from pysearch.checkpoint import IndexMeta
+from pysearch.checkpoint import IndexMeta, read_parquet_union
 from pysearch.config import IndexConfig
 
 _POSTING_ROW_SCHEMA = T.StructType(
@@ -162,25 +162,17 @@ def merge_segments(
         return new_seg
 
     t0 = time.time()
+    source = {
+        "type": "merge",
+        "inputs": seg_ids,
+        "mode": "compact" if compact else "incremental",
+        "tombstones_dropped": n_dead if compact else 0,
+    }
     if compact:
         _compact_rewrite(spark, meta, config, seg_ids, new_seg, dead_here_df)
+        finalize_segment(spark, meta, config, new_seg, source, t0=t0, stage="merge")
     else:
-        _incremental_union(spark, meta, config, seg_ids, new_seg)
-
-    finalize_segment(
-        spark,
-        meta,
-        config,
-        new_seg,
-        source={
-            "type": "merge",
-            "inputs": seg_ids,
-            "mode": "compact" if compact else "incremental",
-            "tombstones_dropped": n_dead if compact else 0,
-        },
-        t0=t0,
-        stage="merge",
-    )
+        _incremental_manifest(spark, meta, config, seg_ids, new_seg, source, t0)
     extra = {
         "mode": "compact" if compact else "incremental",
         "merge_wall_time_sec": time.time() - t0,  # KNN_GRAPH_MERGE_TIME analog
@@ -207,45 +199,68 @@ def merge_segments(
 
 
 def _union_docmaps(spark: SparkSession, meta: IndexMeta, seg_ids: list[str]) -> DataFrame:
-    dfs = [spark.read.parquet(meta.docmap_path(s)) for s in seg_ids]
+    dfs = [read_parquet_union(spark, meta.docmap_paths(s)) for s in seg_ids]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
 
 
-def _incremental_union(spark, meta, config, seg_ids, new_seg):
-    """Incremental merge (M2/M4 analog): every input's posting blocks are
-    reused VERBATIM — a file-level copy, no decode, no re-encode. Valid
-    because segments are doc-disjoint and blocks address global doc ids, so
-    the merged posting list of a term is exactly the union of its block rows.
-    This is the posting-algebra generalization of the reference's
-    leading-segment graph reuse."""
-    os.makedirs(meta.segment_dir(new_seg), exist_ok=True)
-    dst = meta.postings_path(new_seg)
-    shutil.rmtree(dst, ignore_errors=True)
-    os.makedirs(dst)
-    for si, s in enumerate(seg_ids):
-        src = meta.postings_path(s)
-        for root, _dirs, files in os.walk(src):
-            rel = os.path.relpath(root, src)
-            for f in files:
-                if f.startswith(("_", ".")):
-                    continue
-                tgt_dir = os.path.join(dst, rel) if rel != "." else dst
-                os.makedirs(tgt_dir, exist_ok=True)
-                # hard-link when possible: zero-copy reuse
-                srcf, dstf = os.path.join(root, f), os.path.join(tgt_dir, f"s{si}_{f}")
-                try:
-                    os.link(srcf, dstf)
-                except OSError:
-                    shutil.copy2(srcf, dstf)
-    (
-        _union_docmaps(spark, meta, seg_ids)
-        .repartitionByRange(4, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .parquet(meta.docmap_path(new_seg))
+def _incremental_manifest(spark, meta, config, seg_ids, new_seg, source, t0):
+    """Incremental merge (M2/M4 analog) as PURE METADATA: the new segment's
+    manifest points at every input's posting/docmap/dictionary directories —
+    no file is moved, linked or rewritten anywhere (works identically on
+    object stores with no hard links). Valid because segments are
+    doc-disjoint and blocks address global doc ids, so the merged posting
+    list of a term is exactly the union of its inputs' block rows. This is
+    the posting-algebra generalization of the reference's leading-segment
+    graph reuse (JVectorWriter.java:752-849) taken to its limit: EVERY input
+    is the leader. Pointer lists flatten transitively, so chained incremental
+    merges still resolve to concrete directories; retired inputs' files stay
+    referenced and are protected from GC (admin.gc_segments)."""
+    manifests = [meta.read_manifest(s) for s in seg_ids]
+    storage = {
+        kind: [p for s in seg_ids for p in meta.storage_rel(s, kind)]
+        for kind in ("postings", "docmap", "dictionary")
+    }
+    mins = [m["doc_id_min"] for m in manifests if m["doc_id_min"] >= 0]
+    maxs = [m["doc_id_max"] for m in manifests if m["doc_id_max"] >= 0]
+    # the only data touched: one tiny scan over the input dictionaries for
+    # the exact distinct-term count (manifests stay deterministic)
+    n_terms = (
+        read_parquet_union(spark, meta._abs(storage["dictionary"]))
+        .select("term")
+        .distinct()
+        .count()
+        if sum(m["num_postings"] for m in manifests)
+        else 0
+    )
+    manifest = {
+        "segment_id": new_seg,
+        "num_docs": int(sum(m["num_docs"] for m in manifests)),
+        "sum_dl": int(sum(m["sum_dl"] for m in manifests)),
+        "doc_id_min": int(min(mins)) if mins else -1,
+        "doc_id_max": int(max(maxs)) if maxs else -1,
+        "num_terms": int(n_terms),
+        "num_postings": int(sum(m["num_postings"] for m in manifests)),
+        "config_fingerprint": config.fingerprint(),
+        "source": source,
+        "storage": storage,
+    }
+    meta.write_manifest(new_seg, manifest)
+    meta.write_metrics(
+        new_seg,
+        [
+            {
+                "bucket": -1,
+                "n_blocks": 0,
+                "n_postings": manifest["num_postings"],
+                "payload_bytes": 0,  # zero bytes written — the merge IS the manifest
+                "stage": "merge_total",
+                "num_docs": manifest["num_docs"],
+                "wall_time_sec": time.time() - t0,
+            }
+        ],
     )
 
 
@@ -308,7 +323,7 @@ def _compact_rewrite(spark, meta, config, seg_ids, new_seg, dead_df):
     identical compression parameters are reused by construction)."""
     os.makedirs(meta.segment_dir(new_seg), exist_ok=True)
     blocks = [
-        spark.read.schema(BLOCK_SCHEMA).parquet(meta.postings_path(s))
+        read_parquet_union(spark, meta.postings_paths(s), schema=BLOCK_SCHEMA)
         for s in seg_ids
     ]
     allb = blocks[0]
@@ -370,7 +385,7 @@ def delete_docs(
         if where is None:
             raise ValueError("need doc_ids, doc_ids_df or where")
         live = meta.live_segments()
-        dms = [spark.read.parquet(meta.docmap_path(s)) for s in live]
+        dms = [read_parquet_union(spark, meta.docmap_paths(s)) for s in live]
         dm = dms[0]
         for d in dms[1:]:
             dm = dm.unionByName(d)
@@ -404,7 +419,7 @@ def apply_updates(
     segment (the OpenSearch update model). Idempotent per batch_key."""
     meta = IndexMeta(index_dir)
     live = meta.live_segments()
-    dms = [spark.read.parquet(meta.docmap_path(s)) for s in live]
+    dms = [read_parquet_union(spark, meta.docmap_paths(s)) for s in live]
     dm = dms[0]
     for d in dms[1:]:
         dm = dm.unionByName(d)

@@ -140,10 +140,10 @@ class SearchIndex:
         from pysearch.build import BLOCK_SCHEMA
 
         self._postings_df = self._read_union(
-            self.meta.postings_path, self.segments, schema=BLOCK_SCHEMA
+            self.meta.postings_paths, self.segments, schema=BLOCK_SCHEMA
         )
-        self._dictionary_df = self._read_union(self.meta.dictionary_path, self.segments)
-        self._docmaps_df = self._read_union(self.meta.docmap_path, self.segments)
+        self._dictionary_df = self._read_union(self.meta.dictionary_paths, self.segments)
+        self._docmaps_df = self._read_union(self.meta.docmap_paths, self.segments)
         # small-index fast path: pin global term->df in driver memory (one
         # less Spark job per query). Gated by size — a 10^12-file index has
         # hundreds of millions of terms and stays on the pushdown path.
@@ -211,14 +211,18 @@ class SearchIndex:
         return matches[: self.MAX_PREFIX_EXPANSIONS]
 
     def _read_union(
-        self, path_fn, segments: Iterable[str], schema=None
+        self, paths_fn, segments: Iterable[str], schema=None
     ) -> DataFrame | None:
+        """Union of per-segment data, resolving manifest storage pointers
+        (an incrementally-merged segment reads its inputs' directories)."""
+        from pysearch.checkpoint import read_parquet_union
+
         dfs = []
         for s in segments:
-            reader = self.spark.read
-            if schema is not None:
-                reader = reader.schema(schema)
-            dfs.append(reader.parquet(path_fn(s)).withColumn("segment_id", F.lit(s)))
+            dfs.append(
+                read_parquet_union(self.spark, paths_fn(s), schema=schema)
+                .withColumn("segment_id", F.lit(s))
+            )
         if not dfs:
             return None
         out = dfs[0]
@@ -229,7 +233,7 @@ class SearchIndex:
     def docmaps(self, segments: Iterable[str] | None = None) -> DataFrame:
         if segments is None:
             return self._docmaps_df
-        return self._read_union(self.meta.docmap_path, segments)
+        return self._read_union(self.meta.docmap_paths, segments)
 
     def global_term_stats(self, terms: list[str]) -> dict[str, int]:
         """Global df per term = Σ per-segment df (segments are doc-disjoint).

@@ -94,10 +94,21 @@ def test_gc_segments(spark, tmp_index):
     build_index(spark, corpus, tmp_index, CFG)
     meta = IndexMeta(tmp_index)
     before = meta.live_segments()
-    force_merge(spark, tmp_index, max_segments=1)
 
+    # incremental (pointer) merge: retired inputs stay REFERENCED by the
+    # live pointer manifest and must survive GC
+    force_merge(spark, tmp_index, max_segments=1, compact=False)
+    assert gc_segments(tmp_index, dry_run=True) == []
+    gc_segments(tmp_index)
+    si = SearchIndex(spark, tmp_index)
+    assert si.search(Query(text="license merge", k=5)).count() == 5
+
+    # compaction rewrites the data: the old directories become collectible
+    from pysearch.merge import merge_segments
+
+    merge_segments(spark, tmp_index, meta.live_segments(), compact=True)
     victims = gc_segments(tmp_index, dry_run=True)
-    assert set(victims) == set(before)  # retired inputs are collectible
+    assert set(before) <= set(victims)
     gc_segments(tmp_index)
     remaining = os.listdir(os.path.join(tmp_index, "segments"))
     assert set(remaining) == set(meta.live_segments())

@@ -32,9 +32,11 @@ def _pairs(df):
 
 
 def _payload_bytes(spark, meta, segs):
+    from pysearch.checkpoint import read_parquet_union
+
     total = 0
     for s in segs:
-        df = spark.read.parquet(meta.postings_path(s))
+        df = read_parquet_union(spark, meta.postings_paths(s))
         total += df.agg(
             (F.sum(F.length("ids")) + F.sum(F.length("tfs")) + F.sum(F.length("dls")))
         ).collect()[0][0]
@@ -61,11 +63,37 @@ def test_incremental_merge_preserves_results_and_bytes(spark, built):
     after_segs = meta.live_segments()
     assert len(after_segs) == len(before_segs) - 1
     assert new_seg in after_segs
-    src = meta.read_manifest(new_seg)["source"]
-    assert src["mode"] == "incremental"
+    manifest = meta.read_manifest(new_seg)
+    assert manifest["source"]["mode"] == "incremental"
+    # pure-metadata merge: ZERO data files written anywhere — the new
+    # segment owns no directory, its manifest points at the inputs' data
+    # (works identically on object stores with no hard-link support)
+    assert not os.path.exists(meta.segment_dir(new_seg))
+    assert sorted(manifest["storage"]["postings"]) == sorted(
+        os.path.join("segments", s, "postings.parquet") for s in before_segs[:2]
+    )
     # byte-reuse evidence: compressed payload identical, nothing re-encoded
     assert _payload_bytes(spark, meta, [new_seg]) == bytes_before
 
+    si = SearchIndex(spark, idx)
+    for q in QUERIES:
+        assert _pairs(si.search(Query(text=q, k=10))) == before[q]
+
+    # GC must protect the retired inputs while the pointer segment lives
+    from pysearch.admin import gc_segments, verify_index
+
+    victims = gc_segments(idx, dry_run=True)
+    assert not set(victims) & set(before_segs[:2])
+    # integrity checks resolve pointers too
+    verify_index(spark, idx)
+
+    # chained incremental merge (pointer segment + a plain one): pointers
+    # flatten to concrete directories
+    live = meta.live_segments()
+    plain = [s for s in live if s != new_seg]
+    seg2 = merge_segments(spark, idx, [new_seg, plain[0]])
+    st = meta.read_manifest(seg2)["storage"]["postings"]
+    assert all("seg_m_" not in p for p in st), st
     si = SearchIndex(spark, idx)
     for q in QUERIES:
         assert _pairs(si.search(Query(text=q, k=10))) == before[q]
