@@ -44,14 +44,22 @@ ENTRY_CFG = IndexConfig(
     block_size=64,
     approximate_threshold=64,  # keep the block-max path exercised
 )
+# two-field variant: documents.source indexed as a second weighted field
+ENTRY_MF_CFG = IndexConfig(
+    segment_rows=200,
+    term_buckets=8,
+    block_size=64,
+    approximate_threshold=64,
+    fields=("content", "source"),
+)
 
 K1, B = ENTRY_CFG.k1, ENTRY_CFG.b
 TOKEN_SQL = "[a-z0-9]+"
 
 
-def _index_dir(sf_dir: str, variant: str = "main") -> str:
+def _index_dir(sf_dir: str, variant: str = "main", cfg: IndexConfig = ENTRY_CFG) -> str:
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}::{ENTRY_CFG.fingerprint()}::{variant}".encode()
+        f"{os.path.abspath(sf_dir)}::{cfg.fingerprint()}::{variant}".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), "pysearch_entry", key)
 
@@ -83,6 +91,14 @@ def _ensure_deleted_index(spark: SparkSession, sf_dir: str) -> str:
         # predicate delete: docmap scan -> parquet delete file, no collect
         delete_docs(spark, idx, key="mod37", where="doc_id % 37 = 0")
         force_merge(spark, idx, max_segments=1, compact=True)
+    return idx
+
+
+def _ensure_mf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Two-field index: content + source (per-field stats, weighted query)."""
+    idx = _index_dir(sf_dir, "mf", ENTRY_MF_CFG)
+    corpus = corpus_from_documents(spark, sf_dir, extra_fields=("source",))
+    build_index(spark, corpus, idx, ENTRY_MF_CFG)
     return idx
 
 
@@ -194,6 +210,8 @@ Q_MINSCORE = "spark merge query"
 Q_DELETED = "table scan index"
 Q_PREFIX = "s* merge"  # trailing-* = prefix term (MultiTermQuery analog)
 Q_PHRASE = '"table scan" merge'  # quoted = exact adjacent token phrase
+Q_MF = "src3 spark"  # 'src3' hits the source field, 'spark' the text field
+MF_WEIGHTS = {"content": 1.0, "source": 2.0}
 
 ANN_QUERY_IDS = list(range(10))
 
@@ -363,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             Query(text=Q_MULTI, k=10),
             Query(text=Q_K100, k=100),
             Query(text=Q_FILTERED, k=10, filter_expr="lang = 'de'"),
+            Query(text=Q_PHRASE, k=10),  # positions tier inside the batch kernel
         ]
         out = _searcher(s, idx).search_batch(qs)
         return out.select(
@@ -374,6 +393,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_batch_retrieval"] = batch
     q["bm25_prefix_expansion"] = lambda s, d: _search(s, d, Query(text=Q_PREFIX, k=10))
     q["bm25_phrase"] = lambda s, d: _search(s, d, Query(text=Q_PHRASE, k=10))
+
+    # ---- multi-field weighted query (per-field mapping analog) ------------
+    def multifield(s, d):
+        idx = _ensure_mf_index(s, d)
+        hits = _searcher(s, idx).search(
+            Query(text=Q_MF, k=10, fields=MF_WEIGHTS)
+        )
+        return hits.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round(F.col("score"), 4).alias("score"),
+        )
+
+    q["bm25_multifield"] = multifield
 
     # ---- persisted IVF vector index (the on-disk ANN lifecycle twin) ------
     def ivf_persisted(s, d):
@@ -655,12 +687,17 @@ GROUP BY term
             f"SELECT {qid}::BIGINT AS query_id, doc_id, score FROM ({inner})"
         )
 
+    _phrase_like = (
+        "' ' || array_to_string(regexp_extract_all(lower(d.text), '[a-z0-9]+'), ' ') "
+        "|| ' ' LIKE '% table scan %'"
+    )
     o["bm25_batch_retrieval"] = "\nUNION ALL\n".join(
         [
             _with_qid(0, _bm25_sql(toks(Q_SINGLE), 10)),
             _with_qid(1, _bm25_sql(toks(Q_MULTI), 10)),
             _with_qid(2, _bm25_sql(toks(Q_K100), 100)),
             _with_qid(3, _bm25_sql(toks(Q_FILTERED), 10, filter_sql="d.lang = 'de'")),
+            _with_qid(4, _bm25_sql(["table", "scan", "merge"], 10, filter_sql=_phrase_like)),
         ]
     )
     o["ann_ivf_persisted_fullprobe"] = """
@@ -674,6 +711,50 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
   WHERE q.vec_id < 4
 ) WHERE rank <= 10
+"""
+    # multi-field: per-field BM25 (own dl/avgdl/df per field, shared N),
+    # weighted sum — 'src3' only exists in the source field, 'spark' only in
+    # text, so both sides must contribute for the hash to match
+    _mf_terms = ", ".join(f"'{t}'" for t in toks(Q_MF))
+    _w_src = MF_WEIGHTS["source"]
+    o["bm25_multifield"] = f"""
+WITH corpus AS (SELECT * FROM documents),
+n AS (SELECT count(*) AS n FROM corpus),
+tok_c AS (SELECT doc_id, unnest({tok}) AS term FROM corpus),
+tok_s AS (SELECT doc_id, unnest(regexp_extract_all(lower(source), '{TOKEN_SQL}')) AS term FROM corpus),
+dl_c AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok_c GROUP BY doc_id),
+dl_s AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok_s GROUP BY doc_id),
+avg_c AS (SELECT (SELECT count(*) FROM tok_c) * 1.0 / (SELECT n FROM n) AS avgdl),
+avg_s AS (SELECT (SELECT count(*) FROM tok_s) * 1.0 / (SELECT n FROM n) AS avgdl),
+df_c AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok_c
+         WHERE term IN ({_mf_terms}) GROUP BY term),
+df_s AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok_s
+         WHERE term IN ({_mf_terms}) GROUP BY term),
+tf_c AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok_c
+         WHERE term IN ({_mf_terms}) GROUP BY doc_id, term),
+tf_s AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok_s
+         WHERE term IN ({_mf_terms}) GROUP BY doc_id, term),
+sc_c AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + ((SELECT n FROM n) - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / avg.avgdl))) AS s
+  FROM tf_c tf JOIN df_c df USING (term) JOIN dl_c dl USING (doc_id)
+  CROSS JOIN avg_c avg GROUP BY tf.doc_id
+),
+sc_s AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + ((SELECT n FROM n) - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / avg.avgdl))) AS s
+  FROM tf_s tf JOIN df_s df USING (term) JOIN dl_s dl USING (doc_id)
+  CROSS JOIN avg_s avg GROUP BY tf.doc_id
+),
+tot AS (
+  SELECT coalesce(c.doc_id, s.doc_id) AS doc_id,
+         coalesce(c.s, 0) + {_w_src} * coalesce(s.s, 0) AS s
+  FROM sc_c c FULL JOIN sc_s s ON c.doc_id = s.doc_id
+)
+SELECT doc_id, CAST(round(s, 4) AS DOUBLE) AS score
+FROM tot ORDER BY round(s, 9) DESC, doc_id ASC LIMIT 10
 """
     # prefix expansion: same rule as the engine (all dictionary terms with
     # the prefix, term-ascending, cap 50) expressed as a LIKE subquery

@@ -66,6 +66,15 @@ BLOCK_SCHEMA = T.StructType(
 )
 
 
+FIELD_SEP = "\x1f"  # namespaces extra fields' terms; cannot occur in tokens
+
+
+def term_key(field: str, term: str, primary: str) -> str:
+    """Posting-dictionary key for (field, term): the primary field keeps bare
+    terms (back-compatible), extra fields are namespaced."""
+    return term if field == primary else f"{field}{FIELD_SEP}{term}"
+
+
 def bucket_of(term: str, buckets: int) -> int:
     """Portable term -> bucket hash (same value in Python, Spark, DuckDB)."""
     return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % buckets
@@ -87,86 +96,113 @@ TF_SCHEMA = T.StructType(
         # ascending token positions of the term in the doc (phrase tier);
         # empty when store_positions is off
         T.StructField("positions", T.ArrayType(T.IntegerType())),
+        # source field of the (namespaced) term; dl above is THIS field's
+        # per-doc token count
+        T.StructField("field", T.StringType()),
     ]
 )
 
 
-def _tokenize_tf_factory(term_buckets: int, code_aware: bool, store_positions: bool = False):
-    """Fused analyzer stage: content -> tokens -> per-(doc, term) tf with the
-    doc length and the portable term bucket attached; optionally the per-
-    posting token positions (phrase tier). All pandas/numpy; md5 bucketing is
-    computed once per DISTINCT term per batch."""
+def _tokenize_tf_factory(
+    term_buckets: int,
+    code_aware: bool,
+    store_positions: bool = False,
+    fields: tuple = ("content",),
+):
+    """Fused analyzer stage: per field, column -> tokens -> per-(doc, term)
+    tf with the FIELD's doc length and the portable term bucket attached;
+    optionally the per-posting token positions (phrase tier, primary field
+    only). Extra fields' terms are namespaced (term_key), so all fields share
+    the posting/dictionary files while keeping per-field statistics — the
+    per-field mapping analog (KNNVectorFieldMapper.java:101-177). All
+    pandas/numpy; md5 bucketing is computed once per DISTINCT term per batch.
+    """
+    primary = fields[0]
 
-    def run(batches):
+    def one_field(pdf, col: str, is_primary: bool):
         from pysearch.analyze import tokenize_code_text, tokenize_text
 
         tok = tokenize_code_text if code_aware else tokenize_text
+        with_pos = store_positions and is_primary
+        toks = pdf[col].map(tok)
+        dl = toks.map(len).astype("int32")
+        dl_np = dl.to_numpy()
+        if with_pos and dl_np.size and int(dl_np.max()) >= (1 << 22):
+            # phrase keys pack position into 22 bits (query._POS_SHIFT);
+            # fail loudly at index time instead of silently corrupting
+            # phrase matches at query time
+            bad = pdf["doc_id"].to_numpy()[dl_np >= (1 << 22)][:3]
+            raise ValueError(
+                "store_positions=True requires doc length < 2^22 tokens; "
+                f"docs {bad.tolist()} exceed it — split them or build "
+                "with store_positions=False"
+            )
+        total = int(dl_np.sum())
+        if not total:
+            return None
+        doc_ids = pdf["doc_id"].to_numpy().repeat(dl_np)
+        terms = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if t]
+            or [np.empty(0, dtype=object)]
+        )
+        # intra-doc token position for every occurrence
+        doc_starts = np.concatenate(([0], np.cumsum(dl_np)[:-1]))
+        pos = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, dl_np)
 
+        if with_pos:
+            # group occurrences by (term, doc): stable sort keeps the
+            # intra-doc position order ascending within each posting
+            order = np.lexsort((doc_ids, terms.astype("U")))
+            g_terms, g_docs, g_pos = terms[order], doc_ids[order], pos[order]
+            g_dl = np.repeat(dl_np, dl_np)[order]
+            bnd = np.flatnonzero(
+                np.concatenate(
+                    ([True], (g_terms[1:] != g_terms[:-1]) | (g_docs[1:] != g_docs[:-1]))
+                )
+            )
+            counts = np.diff(np.append(bnd, total))
+            tf = pd.DataFrame(
+                {
+                    "term": g_terms[bnd],
+                    "doc_id": g_docs[bnd].astype(np.int64),
+                    "dl": g_dl[bnd].astype(np.int32),
+                    "tf": counts.astype(np.int64),
+                    "positions": np.split(g_pos.astype(np.int32), np.cumsum(counts)[:-1]),
+                }
+            )
+        else:
+            exploded = pd.DataFrame(
+                {"doc_id": doc_ids, "dl": np.repeat(dl_np, dl_np), "term": terms}
+            )
+            tf = (
+                exploded.groupby(["term", "doc_id", "dl"], sort=False)
+                .size()
+                .rename("tf")
+                .reset_index()
+            )
+            tf["tf"] = tf["tf"].astype("int64")
+            tf["positions"] = [[]] * len(tf)
+        if not is_primary:
+            tf["term"] = col + FIELD_SEP + tf["term"]
+        tf["field"] = col
+        return tf
+
+    def run(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            toks = pdf["content"].map(tok)
-            dl = toks.map(len).astype("int32")
-            dl_np = dl.to_numpy()
-            if store_positions and dl_np.size and int(dl_np.max()) >= (1 << 22):
-                # phrase keys pack position into 22 bits (query._POS_SHIFT);
-                # fail loudly at index time instead of silently corrupting
-                # phrase matches at query time
-                bad = pdf["doc_id"].to_numpy()[dl_np >= (1 << 22)][:3]
-                raise ValueError(
-                    "store_positions=True requires doc length < 2^22 tokens; "
-                    f"docs {bad.tolist()} exceed it — split them or build "
-                    "with store_positions=False"
-                )
-            total = int(dl_np.sum())
-            doc_ids = pdf["doc_id"].to_numpy().repeat(dl_np)
-            terms = np.concatenate(
-                [np.asarray(t, dtype=object) for t in toks if t]
-                or [np.empty(0, dtype=object)]
-            )
-            if not total:
+            parts = [
+                t
+                for f in fields
+                if (t := one_field(pdf, f, f == primary)) is not None
+            ]
+            if not parts:
                 continue
-            # intra-doc token position for every occurrence
-            doc_starts = np.concatenate(([0], np.cumsum(dl_np)[:-1]))
-            pos = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, dl_np)
-
-            if store_positions:
-                # group occurrences by (term, doc): stable sort keeps the
-                # intra-doc position order ascending within each posting
-                order = np.lexsort((doc_ids, terms.astype("U")))
-                g_terms, g_docs, g_pos = terms[order], doc_ids[order], pos[order]
-                g_dl = np.repeat(dl_np, dl_np)[order]
-                bnd = np.flatnonzero(
-                    np.concatenate(
-                        ([True], (g_terms[1:] != g_terms[:-1]) | (g_docs[1:] != g_docs[:-1]))
-                    )
-                )
-                counts = np.diff(np.append(bnd, total))
-                tf = pd.DataFrame(
-                    {
-                        "term": g_terms[bnd],
-                        "doc_id": g_docs[bnd].astype(np.int64),
-                        "dl": g_dl[bnd].astype(np.int32),
-                        "tf": counts.astype(np.int64),
-                        "positions": np.split(g_pos.astype(np.int32), np.cumsum(counts)[:-1]),
-                    }
-                )
-            else:
-                exploded = pd.DataFrame(
-                    {"doc_id": doc_ids, "dl": np.repeat(dl_np, dl_np), "term": terms}
-                )
-                tf = (
-                    exploded.groupby(["term", "doc_id", "dl"], sort=False)
-                    .size()
-                    .rename("tf")
-                    .reset_index()
-                )
-                tf["tf"] = tf["tf"].astype("int64")
-                tf["positions"] = [[]] * len(tf)
+            tf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
             uniq = tf["term"].unique()
             bmap = {t: bucket_of(t, term_buckets) for t in uniq}
             tf["bucket"] = tf["term"].map(bmap).astype("int32")
-            yield tf[["term", "doc_id", "dl", "tf", "bucket", "positions"]]
+            yield tf[["term", "doc_id", "dl", "tf", "bucket", "positions", "field"]]
 
     return run
 
@@ -243,12 +279,15 @@ def build_segment_from_df(
 
     # fused tokenize + per-doc tf + term-bucket pass (ONE Arrow stage, one
     # shuffle to the encoder — the explode/groupBy pair this replaces cost a
-    # second full shuffle of raw token strings)
-    tfrows = seg.select("doc_id", "content").mapInPandas(
+    # second full shuffle of raw token strings). All configured fields are
+    # analyzed in the same pass.
+    fields = tuple(config.fields)
+    tfrows = seg.select("doc_id", *fields).mapInPandas(
         _tokenize_tf_factory(
             config.term_buckets,
             bool(config.extra.get("code_aware")),
             store_positions=config.store_positions,
+            fields=fields,
         ),
         schema=TF_SCHEMA,
     ).persist()
@@ -270,8 +309,15 @@ def build_segment_from_df(
     # docmap: doc_id -> identity + per-row content sha256 (the
     # GraphNodeIdToDocMap + derived-source invariant: content itself is NOT
     # stored in the index; reconstruct by joining the source table).
-    # dl = total token count = sum of tfs (docs with zero tokens -> 0).
-    dls = tfrows.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    # dl = primary-field token count; each extra field gets its own dl_<f>
+    # column (per-field norms feed per-field BM25 collection stats).
+    dl_col = lambda f: "dl" if f == fields[0] else f"dl_{f}"  # noqa: E731
+    dls = tfrows.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("field") == f, F.col("dl"))).alias(dl_col(f))
+            for f in fields
+        ]
+    )
     # doc_id-range-partitioned, sorted files: row-group pruning on doc_id
     # works AND the sha256 + write runs parallel (a single-file docmap was a
     # measurable serial bottleneck in the scaling benchmark)
@@ -286,7 +332,9 @@ def build_segment_from_df(
             F.sha2(F.col("content"), 256).alias("content_sha"),
         )
         .join(F.broadcast(dls), "doc_id", "left")
-        .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)).cast("int"))
+        .withColumns(
+            {dl_col(f): F.coalesce(F.col(dl_col(f)), F.lit(0)).cast("int") for f in fields}
+        )
         .repartitionByRange(docmap_files, "doc_id")
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
@@ -342,11 +390,13 @@ def finalize_segment(
     ).parquet(meta.dictionary_path(segment_id))
 
     dm = spark.read.parquet(meta.docmap_path(segment_id))
+    extra_dl_cols = sorted(c for c in dm.columns if c.startswith("dl_"))
     doc_stats = dm.agg(
         F.count(F.lit(1)).alias("num_docs"),
         F.sum("dl").alias("sum_dl"),
         F.min("doc_id").alias("doc_min"),
         F.max("doc_id").alias("doc_max"),
+        *[F.sum(c).alias(c) for c in extra_dl_cols],
     ).collect()[0]
     # one pass over the postings serves dictionary totals AND the per-bucket
     # lineage (term -> bucket is functional, so per-bucket distinct-term
@@ -374,6 +424,11 @@ def finalize_segment(
         "config_fingerprint": config.fingerprint(),
         "source": source,
     }
+    if extra_dl_cols:
+        # per-extra-field token totals (per-field avgdl at query time)
+        manifest["sum_dl_fields"] = {
+            c[3:]: int(doc_stats[c] or 0) for c in extra_dl_cols
+        }
     meta.write_manifest(segment_id, manifest)
 
     # per-bucket lineage/metrics (KNNCounter analog: docs/postings/bytes/time)

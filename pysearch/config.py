@@ -22,6 +22,17 @@ class IndexConfig:
     k1: float = 1.2
     b: float = 0.75
 
+    # --- fields (the per-field mapping analog) ---
+    # Indexed fields, primary first. The reference maps N knn_vector fields
+    # per index with per-field parameters and per-field segment files
+    # (KNNVectorFieldMapper.java:101-177, JVectorWriter.java:374-433); here
+    # every extra field's postings share the segment files under a
+    # field-prefixed term namespace ("<field>\\x1f<term>") with per-field doc
+    # lengths and collection stats, so BM25 scores per field and queries
+    # combine fields with per-query weights. The primary field ("content")
+    # keeps bare terms; phrases/prefix expansion operate on the primary.
+    fields: tuple = ("content",)
+
     # --- segmenting (Lucene segment analog) ---
     # Docs per segment. Bounds every per-task pandas group: a hot term can
     # contribute at most `segment_rows` postings to one group, so skew from

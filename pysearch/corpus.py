@@ -135,13 +135,18 @@ def load_repo_files_table(spark: SparkSession, table: str) -> DataFrame:
     return df.select(*CORPUS_COLS)
 
 
-def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_from_documents(
+    spark: SparkSession, sf_dir: str, extra_fields: tuple = ()
+) -> DataFrame:
     """Adapt the driver's ``documents`` test table to the repo_files shape.
 
     doc_id alignment: ``path`` is the zero-padded documents.doc_id under a
     single repo, so lexical (repo, path) order == numeric doc_id order and
     the engine's assigned doc_id equals documents.doc_id — which keeps every
     DuckDB oracle joinable on doc_id.
+
+    ``extra_fields``: additional documents columns to carry through for
+    multi-field indexing (e.g. ``("source",)``).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
@@ -151,4 +156,5 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("commit"),
         F.col("lang"),
         F.col("text").alias("content"),
+        *[F.col(c) for c in extra_fields],
     )

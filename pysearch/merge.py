@@ -247,6 +247,12 @@ def _incremental_manifest(spark, meta, config, seg_ids, new_seg, source, t0):
         "source": source,
         "storage": storage,
     }
+    field_keys = sorted({k for m in manifests for k in m.get("sum_dl_fields", {})})
+    if field_keys:
+        manifest["sum_dl_fields"] = {
+            k: int(sum(m.get("sum_dl_fields", {}).get(k, 0) for m in manifests))
+            for k in field_keys
+        }
     meta.write_manifest(new_seg, manifest)
     meta.write_metrics(
         new_seg,

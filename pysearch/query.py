@@ -106,6 +106,12 @@ class Query:
     min_score: float | None = None  # radial / score-threshold mode (Q9)
     filter_expr: str | None = None  # any SQL predicate over repo/path/lang
     overquery_factor: int | None = None  # rescore oversample (Q11)
+    # per-field weights (multi-field search): {"content": 1.0, "path": 2.0}.
+    # None = primary field only. Every query term scores in every listed
+    # field (per-field idf/dl/avgdl), contributions scaled by the weight —
+    # the weighted multi-field query analog of the reference's per-field
+    # knn_vector mappings (KNNVectorFieldMapper.java:101-177).
+    fields: dict | None = None
     params: dict = field(default_factory=dict)
 
     def validate(self) -> None:
@@ -113,6 +119,11 @@ class Query:
             raise ValueError("exactly one of k | min_score must be set")
         if self.k is not None and not (0 < self.k <= 10_000):
             raise ValueError("k must be in (0, 10000]")
+        if self.fields is not None:
+            if not self.fields:
+                raise ValueError("fields, when given, must be non-empty")
+            if any(w <= 0 for w in self.fields.values()):
+                raise ValueError("field weights must be > 0")
 
 
 class SearchIndex:
@@ -135,6 +146,14 @@ class SearchIndex:
         self.num_docs = sum(m["num_docs"] for m in self.manifests.values())
         self.sum_dl = sum(m["sum_dl"] for m in self.manifests.values())
         self.avgdl = (self.sum_dl / self.num_docs) if self.num_docs else 0.0
+        # per-field collection stats (multi-field indexes)
+        self.index_fields = tuple(getattr(self.config, "fields", ("content",)))
+        self.avgdl_fields = {self.index_fields[0]: self.avgdl}
+        for f in self.index_fields[1:]:
+            s = sum(
+                m.get("sum_dl_fields", {}).get(f, 0) for m in self.manifests.values()
+            )
+            self.avgdl_fields[f] = (s / self.num_docs) if self.num_docs else 0.0
         # reusable union DataFrames (parquet footers/plans resolved once per
         # refresh, shared across queries — the segment-reader cache analog)
         from pysearch.build import BLOCK_SCHEMA
@@ -193,14 +212,25 @@ class SearchIndex:
         return out
 
     def expand_prefix(self, prefix: str) -> list[str]:
-        """All indexed terms starting with `prefix`, term-ascending, capped."""
+        """All indexed PRIMARY-field terms starting with `prefix`,
+        term-ascending, capped. Extra fields' namespaced dictionary entries
+        are excluded (a bare prefix must not match '<field>\\x1f...' keys)."""
+        from pysearch.build import FIELD_SEP
+
         if not self.segments:
             return []
         if self._df_cache is not None:
-            matches = sorted(t for t in self._df_cache if t.startswith(prefix))
+            matches = sorted(
+                t
+                for t in self._df_cache
+                if t.startswith(prefix) and FIELD_SEP not in t
+            )
         else:
             rows = (
-                self._dictionary_df.where(F.col("term").startswith(prefix))
+                self._dictionary_df.where(
+                    F.col("term").startswith(prefix)
+                    & ~F.col("term").contains(FIELD_SEP)
+                )
                 .select("term")
                 .distinct()
                 .orderBy("term")
@@ -279,17 +309,44 @@ class SearchIndex:
             raise ValueError(
                 "phrase queries need an index built with store_positions=True"
             )
-        terms = self._tokenize_query(rest)
-        stats = self.global_term_stats(terms)
+        primary = self.index_fields[0]
+        qfields = query.fields or {primary: 1.0}
+        unknown = set(qfields) - set(self.index_fields)
+        if unknown:
+            raise ValueError(
+                f"query fields {sorted(unknown)} not indexed; index has "
+                f"{list(self.index_fields)}"
+            )
+        if phrases and primary not in qfields:
+            raise ValueError(
+                "phrase queries match the primary field; include it in fields"
+            )
+        base_terms = self._tokenize_query(rest)
+        # expand every term into each queried field's namespace; the weight
+        # scales the field's contributions, per-field avgdl feeds the norm
+        from pysearch.build import term_key
+
+        keys: list[str] = []
+        weight_map: dict[str, float] = {}
+        avgdl_map: dict[str, float] = {}
+        for f in sorted(qfields):
+            for t in base_terms:
+                kk = term_key(f, t, primary)
+                if kk not in weight_map:
+                    keys.append(kk)
+                    weight_map[kk] = float(qfields[f])
+                    avgdl_map[kk] = self.avgdl_fields[f]
+        stats = self.global_term_stats(keys)
         empty_hits = spark.createDataFrame([], _hits_out_schema())
         # a phrase containing a zero-hit term can never match
         if any(t not in stats for p in phrases for t in p):
             return (empty_hits, spark.createDataFrame([], _metrics_schema())) if with_metrics else empty_hits
-        terms = [t for t in terms if t in stats]  # drop zero-hit terms
+        terms = [t for t in keys if t in stats]  # drop zero-hit terms
         if not terms or not self.segments:
             return (empty_hits, spark.createDataFrame([], _metrics_schema())) if with_metrics else empty_hits
 
-        idf_map = {t: self.idf(stats[t]) for t in terms}
+        idf_map = {t: self.idf(stats[t]) * weight_map[t] for t in terms}
+        avgdl_map = {t: avgdl_map[t] for t in terms}
         buckets = sorted({bucket_of(t, cfg.term_buckets) for t in terms})
 
         # bucket partition-pruning + term row-group pruning at the parquet scan
@@ -315,7 +372,7 @@ class SearchIndex:
             idf_map=idf_map,
             k1=cfg.k1,
             b=cfg.b,
-            avgdl=self.avgdl,
+            avgdl_map=avgdl_map,
             k=k_final,
             k_keep=min(k_final * oq, 10_000) if query.min_score is None else None,
             min_score=query.min_score,
@@ -385,19 +442,44 @@ class SearchIndex:
 
         qinfos = []
         all_terms: list[str] = []
+        avgdl_map: dict[str, float] = {}
         fn = tokenize_code_text if cfg.extra.get("code_aware") else tokenize_text
+        primary = self.index_fields[0]
+        from pysearch.build import term_key
+
+        any_phrases = False
         for qid, q in enumerate(queries):
             q.validate()
-            if parse_phrases(q.text, fn)[1]:
+            rest, phrases = parse_phrases(q.text, fn)
+            if phrases and not cfg.store_positions:
                 raise ValueError(
-                    "quoted phrases are not supported in search_batch yet; "
-                    "use search() per phrase query"
+                    "phrase queries need an index built with store_positions=True"
                 )
-            terms = self._tokenize_query(q.text)
+            qfields = q.fields or {primary: 1.0}
+            unknown = set(qfields) - set(self.index_fields)
+            if unknown:
+                raise ValueError(f"query {qid}: fields {sorted(unknown)} not indexed")
+            if phrases and primary not in qfields:
+                raise ValueError(
+                    f"query {qid}: phrases match the primary field; include it"
+                )
+            base_terms = self._tokenize_query(rest)
+            keys: list[str] = []
+            weights: dict[str, float] = {}
+            for f in sorted(qfields):
+                for t in base_terms:
+                    kk = term_key(f, t, primary)
+                    if kk not in weights:
+                        keys.append(kk)
+                        weights[kk] = float(qfields[f])
+                        avgdl_map[kk] = self.avgdl_fields[f]
+            any_phrases = any_phrases or bool(phrases)
             qinfos.append(
                 {
                     "qid": qid,
-                    "terms": terms,
+                    "terms": keys,
+                    "weights": weights,
+                    "phrases": phrases,
                     # min_score (radial) queries are unbounded by contract:
                     # no per-segment or global truncation (mirrors search())
                     "k": q.k if q.k is not None else (1 << 40),
@@ -405,20 +487,28 @@ class SearchIndex:
                     "has_filter": q.filter_expr is not None,
                 }
             )
-            all_terms.extend(t for t in terms if t not in all_terms)
+            all_terms.extend(t for t in keys if t not in all_terms)
 
         stats = self.global_term_stats(all_terms)
-        idf_map = {t: self.idf(df) for t, df in stats.items()}
         live_terms = [t for t in all_terms if t in stats]
         if not live_terms:
             return spark.createDataFrame([], out_schema)
         for info in qinfos:
+            # a phrase with a zero-hit term kills the whole query
+            if any(t not in stats for p in info["phrases"] for t in p):
+                info["terms"] = []
             info["terms"] = [t for t in info["terms"] if t in stats]
+            info["idf"] = {
+                t: self.idf(stats[t]) * info["weights"][t] for t in info["terms"]
+            }
 
         buckets = sorted({bucket_of(t, cfg.term_buckets) for t in live_terms})
         postings = self._postings_df.where(
             F.col("bucket").isin(buckets) & F.col("term").isin(live_terms)
-        ).drop("poss")  # no phrases in batch mode -> never read positions
+        )
+        if not any_phrases:
+            # positions payload pruned whenever no query needs the phrase tier
+            postings = postings.drop("poss")
 
         # per-query accept sets (+ shared tombstones under qid = -1): ALL
         # filters evaluate in ONE docmap pass — each row emits the array of
@@ -458,7 +548,7 @@ class SearchIndex:
 
         seg_docs = {s: self.manifests[s]["num_docs"] for s in self.segments}
         kernel = _batch_search_factory(
-            qinfos, idf_map, cfg.k1, cfg.b, self.avgdl, cfg.overquery_factor,
+            qinfos, cfg.k1, cfg.b, avgdl_map, cfg.overquery_factor,
             seg_docs, cfg.approximate_threshold, cfg.filter_bitmap_selectivity,
         )
         cand_schema = T.StructType(
@@ -591,7 +681,7 @@ def _metrics_schema():
 
 
 def _batch_search_factory(
-    qinfos, idf_map, k1, b, avgdl, overquery, seg_docs, approx_threshold, bitmap_sel
+    qinfos, k1, b, avgdl_map, overquery, seg_docs, approx_threshold, bitmap_sel
 ):
     def kernel(blocks: pd.DataFrame, restrict: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -625,10 +715,19 @@ def _batch_search_factory(
                 if not a.size:
                     continue
                 allow = np.unique(a)
+            if info["phrases"]:
+                # positions-tier adjacency filter inside the batch kernel —
+                # same vectorized matcher as the single-query path
+                pa = _phrase_allowed(qblocks, info["phrases"])
+                if pa.size == 0:
+                    continue
+                allow = pa if allow is None else np.intersect1d(allow, pa)
+                if allow.size == 0:
+                    continue
             ids, scores, _, _ = _blockmax_maxscore(
                 qblocks,
-                {t: idf_map[t] for t in info["terms"]},
-                k1, b, avgdl, info["k"], info["min_score"], allow, deny, brute,
+                info["idf"],
+                k1, b, avgdl_map, info["k"], info["min_score"], allow, deny, brute,
             )
             if not ids.size:
                 continue
@@ -663,7 +762,7 @@ def _segment_search_factory(
     idf_map: dict[str, float],
     k1: float,
     b: float,
-    avgdl: float,
+    avgdl_map: dict[str, float],
     k: int,
     k_keep: int | None,
     min_score: float | None,
@@ -695,7 +794,7 @@ def _segment_search_factory(
         # segments are scored brute-force — all terms essential, no skipping
         brute = seg_docs.get(seg, 0) < approximate_threshold
         ids, scores, scanned, skipped = _blockmax_maxscore(
-            blocks, idf_map, k1, b, avgdl, k, min_score, allow, deny, brute
+            blocks, idf_map, k1, b, avgdl_map, k, min_score, allow, deny, brute
         )
         if min_score is not None and ids.size:
             keep = scores >= min_score
@@ -825,13 +924,16 @@ def _blockmax_maxscore(
     idf_map: dict[str, float],
     k1: float,
     b: float,
-    avgdl: float,
+    avgdl_map: dict[str, float],
     k: int,
     min_score: float | None,
     allow: np.ndarray | None,
     deny: np.ndarray | None,
     brute: bool,
 ):
+    """idf_map values carry the query-time field weight folded in; avgdl_map
+    gives each (possibly field-namespaced) term its FIELD's avgdl, so a
+    multi-field query is just MaxScore over the union of per-field terms."""
     from pysearch.codec import decode_blocks_batch
 
     # organize per term, blocks ascending by first_id
@@ -841,10 +943,11 @@ def _blockmax_maxscore(
         idf = idf_map.get(term)
         if idf is None:
             continue
+        avgdl = avgdl_map[term]
         max_tf = g["max_tf"].to_numpy(dtype=np.float64)
         min_dl = g["min_dl"].to_numpy(dtype=np.float64)
         block_ub = idf * max_tf / (max_tf + k1 * (1 - b + b * min_dl / avgdl))
-        by_term[term] = (g, block_ub, idf, float(block_ub.max()))
+        by_term[term] = (g, block_ub, idf, float(block_ub.max()), avgdl)
 
     # descending max upper bound (MaxScore term order)
     order = sorted(by_term, key=lambda t: -by_term[t][3])
@@ -856,11 +959,11 @@ def _blockmax_maxscore(
     theta = min_score if min_score is not None else -np.inf
     scanned = skipped = 0
 
-    def contrib(tfs, dls, idf):
+    def contrib(tfs, dls, idf, avgdl):
         return idf * tfs / (tfs + k1 * (1 - b + b * dls / avgdl))
 
     for i, term in enumerate(order):
-        g, block_ub, idf, _ = by_term[term]
+        g, block_ub, idf, _, avgdl = by_term[term]
         rem = suffix[i + 1]
         essential = brute or not (suffix[i] < theta)
 
@@ -889,7 +992,7 @@ def _blockmax_maxscore(
             list(gsel["dls"]),
             gsel["codec"].to_numpy(np.int64),
         )
-        sc = contrib(tfs.astype(np.float64), dls.astype(np.float64), idf)
+        sc = contrib(tfs.astype(np.float64), dls.astype(np.float64), idf, avgdl)
 
         if deny is not None:
             keep = ~_member(ids, deny)
