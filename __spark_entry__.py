@@ -411,7 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ivf_persisted(s, d):
         from pysearch.ops.vector_index import build_vector_index, search_vector_index
 
-        idx = _index_dir(d, "ivf")
+        idx = _index_dir(d, "ivf2")
         emb = _emb(s, d)
         build_vector_index(s, emb, idx, nlist=8, seed=42)
         qrows = emb.where("vec_id < 4").collect()
@@ -421,6 +421,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("query_id", "neighbor_id", "rank")
 
     q["ann_ivf_persisted_fullprobe"] = ivf_persisted
+
+    # ---- vector segment lifecycle: build -> append (codebook reuse) ->
+    # delete (tombstones) -> merge (compact) -> search (mergeOneField analog,
+    # JVectorWriter.java:192-213, codebook reuse :1072-1152) ---------------
+    def ivf_after_merge(s, d):
+        from pysearch.ops.vector_index import (
+            append_vectors,
+            build_vector_index,
+            delete_vectors,
+            merge_vector_index,
+            search_vector_index,
+        )
+
+        idx = _index_dir(d, "ivf_lc")
+        emb = _emb(s, d)
+        build_vector_index(s, emb.where("vec_id < 300"), idx, nlist=8, seed=42)
+        append_vectors(s, idx, emb.where("vec_id >= 300"), key="rest")
+        delete_vectors(s, idx, key="mod17", where="vec_id % 17 = 0")
+        merge_vector_index(s, idx)
+        qrows = emb.where("vec_id in (1, 2, 3)").collect()
+        queries_v = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+        out = search_vector_index(s, idx, queries_v, k=10, nprobe=8)
+        return out.select("query_id", "neighbor_id", "rank")
+
+    q["ann_ivf_after_merge"] = ivf_after_merge
+
+    # ---- additional similarity spaces (SpaceType.java:43-160) -------------
+    q["ann_l2_topk"] = lambda s, d: similarity.similarity_topk(
+        _emb(s, d), ANN_QUERY_IDS, k=10, space="l2"
+    ).select("query_id", "neighbor_id", "rank")
+    q["ann_ip_topk"] = lambda s, d: similarity.similarity_topk(
+        _emb(s, d), ANN_QUERY_IDS, k=10, space="innerproduct"
+    ).select("query_id", "neighbor_id", "rank")
 
     # ---- relational internals demonstrated standalone (SURVEY §2.5:
     # aggregations / broadcast joins / windows are what the engine composes
@@ -710,6 +743,46 @@ SELECT query_id, neighbor_id, rank FROM (
          ) AS rank
   FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
   WHERE q.vec_id < 4
+) WHERE rank <= 10
+"""
+    # lifecycle variant: merged state == survivors of the mod-17 delete
+    o["ann_ivf_after_merge"] = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding, x.embedding), 9) DESC,
+                    x.vec_id ASC
+         ) AS rank
+  FROM embeddings q JOIN embeddings x
+    ON x.vec_id <> q.vec_id AND x.vec_id % 17 <> 0
+  WHERE q.vec_id IN (1, 2, 3)
+) WHERE rank <= 10
+"""
+    # float32 caveat (DuckDB list_* compute in f32): spaces compare id/rank
+    # sets, never the float values
+    o["ann_l2_topk"] = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_distance(q.embedding, x.embedding), 9) ASC,
+                    x.vec_id ASC
+         ) AS rank
+  FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+) WHERE rank <= 10
+"""
+    o["ann_ip_topk"] = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_inner_product(q.embedding, x.embedding), 9) DESC,
+                    x.vec_id ASC
+         ) AS rank
+  FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
 ) WHERE rank <= 10
 """
     # multi-field: per-field BM25 (own dl/avgdl/df per field, shared N),

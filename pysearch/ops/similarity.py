@@ -22,19 +22,134 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_TOPK_SCHEMA = T.StructType(
-    [
-        T.StructField("query_id", T.LongType()),
-        T.StructField("neighbor_id", T.LongType()),
-        T.StructField("cosine", T.DoubleType()),
-    ]
-)
-
-
 def _normalize(X: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(X, axis=1, keepdims=True)
     n[n == 0] = 1.0
     return X / n
+
+
+# ---------------------------------------------------------------------------
+# similarity spaces (SpaceType.java:43-160 analog): each space defines a raw
+# similarity (higher = more similar; distances are negated) and the
+# reference's Lucene-range score translation.
+# ---------------------------------------------------------------------------
+
+SPACES = ("cosinesimil", "l2", "l1", "linf", "innerproduct")
+
+
+def _space_similarities(Q: np.ndarray, X: np.ndarray, space: str) -> np.ndarray:
+    """(nq, n) raw similarity matrix, higher = more similar. Distance spaces
+    are negated so one descending sort serves every space."""
+    if space == "cosinesimil":
+        return _normalize(Q) @ _normalize(X).T
+    if space == "innerproduct":
+        return Q @ X.T
+    if space == "l2":
+        # -||q - x||^2 via the expansion (one matmul, no pair loop)
+        return -(
+            (Q * Q).sum(axis=1)[:, None] + (X * X).sum(axis=1)[None, :] - 2 * (Q @ X.T)
+        )
+    if space == "l1":
+        return -np.abs(Q[:, None, :] - X[None, :, :]).sum(axis=2)
+    if space == "linf":
+        return -np.abs(Q[:, None, :] - X[None, :, :]).max(axis=2)
+    raise ValueError(f"unknown space {space!r}; one of {SPACES}")
+
+
+def space_score(space: str, sim: np.ndarray) -> np.ndarray:
+    """The reference's scoreTranslation (SpaceType.java:43-160): map raw
+    similarity to the Lucene-range score. Monotone in `sim` for every space,
+    so ranks are translation-invariant."""
+    if space == "cosinesimil":
+        return np.maximum((2.0 - (1.0 - sim)) / 2.0, 0.0)  # (1+cos)/2
+    if space == "l2":
+        return 1.0 / (1.0 - sim)  # sim = -d^2  ->  1/(1+d^2)
+    if space in ("l1", "linf"):
+        return 1.0 / (1.0 - sim)
+    if space == "innerproduct":
+        # raw library score is -dot; translation: dot>=0 -> dot+1, else 1/(1-dot)
+        return np.where(sim >= 0, sim + 1.0, 1.0 / (1.0 - sim))
+    raise ValueError(f"unknown space {space!r}")
+
+
+def similarity_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    space: str = "cosinesimil",
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors for each query id in any supported space
+    (SpaceType.java:43-160 analog: l2 / cosinesimil / innerproduct / l1 /
+    linf). Returns (query_id, neighbor_id, sim, score, rank): `sim` is the
+    raw similarity (distances negated), `score` the reference's
+    Lucene-range translation, rank 1..k with neighbor-id tiebreak.
+
+    Plan shape: broadcast queries -> partition-local vectorized top-k inside
+    mapInPandas -> one global window. One pass over the data, no cross join.
+    """
+    spark = emb.sparkSession
+    qrows = emb.where(F.col(id_col).isin([int(q) for q in query_ids])).select(
+        id_col, vec
+    ).collect()
+    Q = np.array([r[vec] for r in qrows], dtype=np.float64)
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    bq = spark.sparkContext.broadcast((qids, Q))
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def score_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_ = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            S = _space_similarities(Q_, X, space)
+            if exclude_self:
+                for qi, qid in enumerate(qids_):
+                    S[qi, ids == qid] = -np.inf
+            kk = min(k, S.shape[1])
+            part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids_, kk),
+                    "neighbor_id": ids[part].ravel(),
+                    "sim": np.take_along_axis(S, part, axis=1).ravel(),
+                }
+            )
+            yield out[np.isfinite(out["sim"])]
+
+    local = emb.select(id_col, vec).mapInPandas(score_part, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("sim"), 9)), F.asc("neighbor_id")
+    )
+    sim = F.col("sim")
+    if space == "cosinesimil":
+        score = F.greatest((F.lit(1.0) + sim) / 2, F.lit(0.0))
+    elif space == "innerproduct":
+        score = F.when(sim >= 0, sim + 1).otherwise(1 / (1 - sim))
+    else:  # l2 / l1 / linf: sim = -distance
+        score = 1 / (1 - sim)
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 6).alias("sim"),
+            F.round(score, 6).alias("score"),
+            "rank",
+        )
+    )
 
 
 def cosine_topk(
@@ -47,43 +162,12 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query id. Returns
     (query_id, neighbor_id, cosine, rank) with rank 1..k, ties by neighbor id."""
-    spark = emb.sparkSession
-    qrows = emb.where(F.col(id_col).isin([int(q) for q in query_ids])).select(
-        id_col, vec
-    ).collect()
-    Q = _normalize(np.array([r[vec] for r in qrows], dtype=np.float64))
-    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
-    bq = spark.sparkContext.broadcast((qids, Q))
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_, Q_ = bq.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = _normalize(np.stack(pdf[vec].to_numpy()).astype(np.float64))
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            S = Q_ @ X.T  # (nq, n)
-            if exclude_self:
-                for qi, qid in enumerate(qids_):
-                    S[qi, ids == qid] = -np.inf
-            kk = min(k, S.shape[1])
-            part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-            rows = {
-                "query_id": np.repeat(qids_, kk),
-                "neighbor_id": ids[part].ravel(),
-                "cosine": np.take_along_axis(S, part, axis=1).ravel(),
-            }
-            out = pd.DataFrame(rows)
-            yield out[np.isfinite(out["cosine"])]
-
-    local = emb.select(id_col, vec).mapInPandas(score, schema=_TOPK_SCHEMA)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(F.col("cosine"), 9)), F.asc("neighbor_id")
+    out = similarity_topk(
+        emb, query_ids, k=k, space="cosinesimil",
+        id_col=id_col, vec=vec, exclude_self=exclude_self,
     )
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    return out.select(
+        "query_id", "neighbor_id", F.col("sim").alias("cosine"), "rank"
     )
 
 
