@@ -175,6 +175,18 @@ class SearchIndex:
                 .collect()
             )
             self._df_cache = {r["term"]: int(r["df"]) for r in rows}
+        # same gate for the identity columns: top-k winners resolve to
+        # (repo, path, lang, sha) from driver memory instead of a second
+        # docmap-join job per query; big indexes stay on the fused-join path
+        self._identity_cache: dict[int, tuple] | None = None
+        if 0 < self.num_docs <= 500_000 and self._docmaps_df is not None:
+            rows = self._docmaps_df.select(
+                "doc_id", "repo", "path", "lang", "content_sha"
+            ).collect()
+            self._identity_cache = {
+                int(r["doc_id"]): (r["repo"], r["path"], r["lang"], r["content_sha"])
+                for r in rows
+            }
 
     MAX_PREFIX_EXPANSIONS = 50  # Lucene MultiTermQuery-style cap
 
@@ -410,16 +422,45 @@ class SearchIndex:
         # tiebreak analog, SURVEY §7.3 hard part (a))
         rank_score = F.round(F.col("score"), 9)
         if query.min_score is not None:
-            top = real.where(F.col("score") >= query.min_score).orderBy(
-                F.desc(rank_score), F.asc("doc_id")
-            )
+            top = real.where(F.col("score") >= query.min_score)
         else:
             top = real.orderBy(F.desc(rank_score), F.asc("doc_id")).limit(k_final)
 
-        hit_rows = top.select("doc_id", "score").collect()
-        hits = self._attach_identity(hit_rows)
+        # resolve winners to identity columns. Small indexes: driver-cached
+        # docmap — the whole query is ONE Spark action (the second
+        # docmap-join job was half the measured single-query latency). Big
+        # indexes: the join stays lazy and fused into the same action.
+        top = top.select("doc_id", "score")
+        if self._identity_cache is not None:
+            rows = top.collect()
+            cache = self._identity_cache
+            data = sorted(
+                (
+                    (int(r["doc_id"]), float(r["score"]))
+                    + cache.get(int(r["doc_id"]), (None, None, None, None))
+                    for r in rows
+                ),
+                key=lambda t: (-round(t[1], 9), t[0]),
+            )
+            hits = spark.createDataFrame(data, _hits_out_schema())
+        else:
+            dm = self.docmaps().select(
+                "doc_id", "repo", "path", "lang", "content_sha"
+            )
+            joined = (
+                dm.join(F.broadcast(top), "doc_id", "inner")
+                if query.min_score is None
+                else dm.join(top, "doc_id", "inner")  # unbounded: let AQE pick
+            )
+            hits = joined.select(
+                "doc_id", "score", "repo", "path", "lang", "content_sha"
+            ).orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
         if with_metrics:
+            # materialize before dropping the persisted kernel output (hits
+            # are lazy and would otherwise recompute it)
+            rows = hits.collect()
             candidates.unpersist()
+            hits = spark.createDataFrame(rows, _hits_out_schema())
             return hits, metrics_df
         return hits
 
@@ -630,28 +671,38 @@ class SearchIndex:
             out = out.unionByName(p)
         return out
 
-    def _attach_identity(self, hit_rows) -> DataFrame:
-        """Join winners back to the docmap (derived-source reconstruction:
-        the index stores no content, only identity + sha)."""
-        spark = self.spark
-        if not hit_rows:
-            return spark.createDataFrame([], _hits_out_schema())
-        ids = [r["doc_id"] for r in hit_rows]
-        hits = spark.createDataFrame(
-            [(r["doc_id"], float(r["score"])) for r in hit_rows],
-            T.StructType(
-                [
-                    T.StructField("doc_id", T.LongType()),
-                    T.StructField("score", T.DoubleType()),
-                ]
-            ),
+    def reconstruct_source(
+        self,
+        hits: DataFrame,
+        corpus: DataFrame,
+        snippet_chars: int | None = None,
+        verify_sha: bool = True,
+    ) -> DataFrame:
+        """Derived-source read-back (KNN10010DerivedSourceStoredFieldsWriter
+        analog): the index stores identity + sha256 only, never content —
+        this joins hits back to the source-of-truth ``repo_files`` table,
+        re-attaching ``content`` (and an optional leading snippet) and
+        flagging rows whose stored sha no longer matches the source
+        (``sha_ok`` false = the source mutated since indexing).
+
+        The hit side is tiny (top-k), so it broadcasts into the corpus scan
+        — one pass over the source table, no shuffle."""
+        src = corpus.select(
+            "repo", "path", F.col("content"),
+            F.sha2("content", 256).alias("_src_sha"),
         )
-        dm = self.docmaps().where(F.col("doc_id").isin(ids)).select(
-            "doc_id", "repo", "path", "lang", "content_sha"
-        )
-        return (
-            hits.join(F.broadcast(dm), "doc_id", "left")
-            .orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+        out = src.join(F.broadcast(hits), ["repo", "path"], "inner")
+        if verify_sha:
+            out = out.withColumn("sha_ok", F.col("content_sha") == F.col("_src_sha"))
+        if snippet_chars is not None:
+            out = out.withColumn("snippet", F.substring("content", 1, snippet_chars))
+        cols = ["doc_id", "score", "repo", "path", "lang", "content_sha", "content"]
+        if verify_sha:
+            cols.append("sha_ok")
+        if snippet_chars is not None:
+            cols.append("snippet")
+        return out.select(*cols).orderBy(
+            F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
         )
 
 
