@@ -77,6 +77,30 @@ def parse_phrases(text: str, analyzer) -> tuple[str, list[list[str]]]:
     rest = _PHRASE_RE.sub(repl, text)
     return rest, phrases
 
+# first-pass candidate clamps (RescoreContext.java:22-39,83-99 analog):
+# per-segment candidates = clamp(k * oversample) into [MIN, MAX]. When the
+# user gives no oversample, the default scales with QUERY WIDTH — the
+# dimension-based-default analog: narrow queries yield coarse score
+# distributions (few distinct (tf, dl) combinations -> many exact ties), so
+# they oversample more, exactly like low-dimension vectors rescore more.
+MAX_FIRST_PASS_RESULTS = 10_000
+MIN_FIRST_PASS_RESULTS = 100
+_WIDTH_OVERSAMPLE = ((10, 1), (4, 2), (0, 3))  # (min_terms, factor)
+
+
+def first_pass_k(final_k: int, oversample: int | None, n_terms: int, floor: int = 1) -> int:
+    """RescoreContext.getFirstPassK analog: user-provided oversample wins;
+    otherwise the width-based default (never below `floor`, the config's
+    overquery_factor); result clamped into [MIN, MAX]_FIRST_PASS_RESULTS."""
+    if oversample is None:
+        oversample = max(
+            next(f for lo, f in _WIDTH_OVERSAMPLE if n_terms >= lo), floor
+        )
+    return min(
+        MAX_FIRST_PASS_RESULTS, max(MIN_FIRST_PASS_RESULTS, final_k * oversample)
+    )
+
+
 HIT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -379,14 +403,20 @@ class SearchIndex:
         # drop hits from dense segments (the result set is unbounded by
         # contract, exactly like the oracle's WHERE s >= min_score).
         k_final = query.k if query.k is not None else 10_000
-        oq = query.overquery_factor or cfg.overquery_factor
         kernel = _segment_search_factory(
             idf_map=idf_map,
             k1=cfg.k1,
             b=cfg.b,
             avgdl_map=avgdl_map,
             k=k_final,
-            k_keep=min(k_final * oq, 10_000) if query.min_score is None else None,
+            k_keep=(
+                first_pass_k(
+                    k_final, query.overquery_factor, len(terms),
+                    floor=cfg.overquery_factor,
+                )
+                if query.min_score is None
+                else None
+            ),
             min_score=query.min_score,
             filter_present=query.filter_expr is not None,
             seg_docs=seg_docs,
@@ -787,7 +817,9 @@ def _batch_search_factory(
                 ids, scores = ids[keep], scores[keep]
                 order = np.lexsort((ids, -scores))
             else:
-                k_keep = min(info["k"] * overquery, 10_000)
+                k_keep = first_pass_k(
+                    info["k"], None, len(info["terms"]), floor=overquery
+                )
                 order = np.lexsort((ids, -scores))[:k_keep]
             outs.append(
                 pd.DataFrame(

@@ -107,3 +107,20 @@ def test_append_never_reuses_compacted_doc_ids(spark, tmp_index):
         if r["doc_id"] >= 20
     }
     assert new_ids == {20}  # appended doc got a never-used id
+
+
+def test_first_pass_k_clamps_and_defaults():
+    """RescoreContext.getFirstPassK analog (RescoreContext.java:83-99):
+    user oversample wins, width-based defaults otherwise, [100, 10000]
+    clamps always."""
+    from pysearch.query import first_pass_k
+
+    assert first_pass_k(10, 5, n_terms=2) == 100       # MIN clamp
+    assert first_pass_k(10_000, 5, n_terms=2) == 10_000  # MAX clamp
+    assert first_pass_k(200, 2, n_terms=1) == 400      # user-provided wins
+    # width-based defaults: narrow queries oversample more
+    assert first_pass_k(200, None, n_terms=1) == 600   # <4 terms -> 3x
+    assert first_pass_k(200, None, n_terms=5) == 400   # 4..9 terms -> 2x
+    assert first_pass_k(200, None, n_terms=12) == 200  # >=10 terms -> 1x
+    # config floor raises the default, never lowers it
+    assert first_pass_k(200, None, n_terms=12, floor=5) == 1000
