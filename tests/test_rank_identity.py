@@ -165,3 +165,20 @@ def test_phrase_query_rank_identity(spark, built):
     assert _pairs(eng) == _pairs(orc)
     # phrase with an OOV term can never match
     assert si.search(Query(text='"license zzznope"', k=10)).count() == 0
+
+
+def test_reconstruct_source_roundtrip(spark, built):
+    """Derived-source read-back: hits rejoin the source-of-truth corpus with
+    content + snippet attached and the stored sha256 verified."""
+    idx, ids = built
+    si = SearchIndex(spark, idx)
+    hits = si.search(Query(text="license merge segment", k=8))
+    full = si.reconstruct_source(hits, ids, snippet_chars=32)
+    rows = full.collect()
+    assert len(rows) == 8
+    assert all(r["sha_ok"] for r in rows)
+    assert all(r["content"].startswith(r["snippet"]) for r in rows)
+    # order preserved (score desc, doc_id asc) and content is the source's
+    src = {(r["repo"], r["path"]): r["content"] for r in ids.collect()}
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in hits.collect()]
+    assert all(src[(r["repo"], r["path"])] == r["content"] for r in rows)
