@@ -83,6 +83,10 @@ def main() -> None:
     # ---- 2) BM25 query latency p50 over the reference query set -----------
     si = SearchIndex(spark, idx)
     qset = generate_queries(100, seed=42)[:30]
+    for q in qset[:3]:  # steady-state: untimed warm-up (codegen + workers)
+        si.search(
+            Query(text=q["query_text"], k=q["k"], filter_expr=q["filter_expr"])
+        ).collect()
     lats = []
     for q in qset:
         t0 = time.time()

@@ -44,7 +44,6 @@ from pysearch.checkpoint import IndexMeta
 from pysearch.codec import encode_posting_blocks
 from pysearch.config import IndexConfig
 from pysearch.corpus import assign_doc_ids
-from pysearch.analyze import with_tokens
 
 BLOCK_SCHEMA = T.StructType(
     [
@@ -94,11 +93,11 @@ TF_SCHEMA = T.StructType(
         T.StructField("tf", T.LongType()),
         T.StructField("bucket", T.IntegerType()),
         # ascending token positions of the term in the doc (phrase tier);
-        # empty when store_positions is off
+        # empty when store_positions is off. The term's FIELD is not carried
+        # as a column — it is recoverable from the term-key prefix, and an
+        # extra string per posting would inflate the build shuffle
+        # measurably; dl is the term's field's per-doc token count.
         T.StructField("positions", T.ArrayType(T.IntegerType())),
-        # source field of the (namespaced) term; dl above is THIS field's
-        # per-doc token count
-        T.StructField("field", T.StringType()),
     ]
 )
 
@@ -184,7 +183,6 @@ def _tokenize_tf_factory(
             tf["positions"] = [[]] * len(tf)
         if not is_primary:
             tf["term"] = col + FIELD_SEP + tf["term"]
-        tf["field"] = col
         return tf
 
     def run(batches):
@@ -202,7 +200,7 @@ def _tokenize_tf_factory(
             uniq = tf["term"].unique()
             bmap = {t: bucket_of(t, term_buckets) for t in uniq}
             tf["bucket"] = tf["term"].map(bmap).astype("int32")
-            yield tf[["term", "doc_id", "dl", "tf", "bucket", "positions", "field"]]
+            yield tf[["term", "doc_id", "dl", "tf", "bucket", "positions"]]
 
     return run
 
@@ -312,9 +310,16 @@ def build_segment_from_df(
     # dl = primary-field token count; each extra field gets its own dl_<f>
     # column (per-field norms feed per-field BM25 collection stats).
     dl_col = lambda f: "dl" if f == fields[0] else f"dl_{f}"  # noqa: E731
+
+    def field_pred(f):
+        # field recovered from the term-key namespace (no per-row field col)
+        if f == fields[0]:
+            return ~F.col("term").contains(FIELD_SEP)
+        return F.col("term").startswith(f + FIELD_SEP)
+
     dls = tfrows.groupBy("doc_id").agg(
         *[
-            F.max(F.when(F.col("field") == f, F.col("dl"))).alias(dl_col(f))
+            F.max(F.when(field_pred(f), F.col("dl"))).alias(dl_col(f))
             for f in fields
         ]
     )

@@ -1,4 +1,4 @@
-"""spark-submit entry points:  build | merge | query | bench.
+"""spark-submit entry points:  build | merge | query | delete | verify | gc | stats.
 
 Cluster usage (north_rule):
     zip -r pysearch.zip pysearch
@@ -44,19 +44,58 @@ def main(argv: list[str] | None = None) -> int:
     pb.add_argument("--corpus", required=True, help="repo_files parquet path")
     pb.add_argument("--index", required=True)
     pb.add_argument("--segment-rows", type=int, default=100_000)
+    pb.add_argument("--term-buckets", type=int, default=16)
+    pb.add_argument("--fields", default=None,
+                    help="comma-separated field columns, primary first "
+                         "(default: content)")
+    pb.add_argument("--code-aware", action="store_true",
+                    help="camelCase/snake_case subword analyzer")
+    pb.add_argument("--no-positions", action="store_true",
+                    help="skip the phrase positions tier (smaller index)")
     pb.add_argument("--cpus", default=None)
 
     pm = sub.add_parser("merge")
     pm.add_argument("--index", required=True)
     pm.add_argument("--force", type=int, default=0, help="force-merge to N segments")
+    pm.add_argument("--compact", action="store_true",
+                    help="rewrite data (drop tombstones) instead of the "
+                         "pure-metadata incremental merge")
     pm.add_argument("--cpus", default=None)
 
     pq = sub.add_parser("query")
     pq.add_argument("--index", required=True)
-    pq.add_argument("--text", required=True)
+    pq.add_argument("--text", required=True,
+                    help='query text; "quoted phrases" and trailing-* prefixes work')
     pq.add_argument("--k", type=int, default=10)
+    pq.add_argument("--min-score", type=float, default=None,
+                    help="radial mode: return ALL hits >= this (k ignored)")
     pq.add_argument("--filter", default=None)
+    pq.add_argument("--fields", default=None,
+                    help="per-field weights, e.g. content=1,title=2")
     pq.add_argument("--cpus", default=None)
+
+    pd_ = sub.add_parser("delete")
+    pd_.add_argument("--index", required=True)
+    pd_.add_argument("--key", required=True, help="idempotency key")
+    pd_.add_argument("--where", default=None,
+                     help="SQL predicate over docmap columns")
+    pd_.add_argument("--ids", default=None, help="comma-separated doc ids")
+    pd_.add_argument("--cpus", default=None)
+
+    pv = sub.add_parser("verify")
+    pv.add_argument("--index", required=True)
+    pv.add_argument("--corpus", default=None,
+                    help="source table for the sha256 invariant check")
+    pv.add_argument("--cpus", default=None)
+
+    pg = sub.add_parser("gc")
+    pg.add_argument("--index", required=True)
+    pg.add_argument("--dry-run", action="store_true")
+    pg.add_argument("--cpus", default=None)
+
+    ps = sub.add_parser("stats")
+    ps.add_argument("--index", required=True)
+    ps.add_argument("--cpus", default=None)
 
     args = p.parse_args(argv)
     spark = _spark(args.cpus)
@@ -68,29 +107,71 @@ def main(argv: list[str] | None = None) -> int:
         from pysearch.corpus import load_repo_files
 
         t0 = time.time()
-        meta = build_index(
-            spark,
-            load_repo_files(spark, args.corpus),
-            args.index,
-            IndexConfig(segment_rows=args.segment_rows),
+        cfg_kw = dict(
+            segment_rows=args.segment_rows,
+            term_buckets=args.term_buckets,
+            store_positions=not args.no_positions,
         )
+        if args.fields:
+            cfg_kw["fields"] = tuple(f.strip() for f in args.fields.split(","))
+        if args.code_aware:
+            cfg_kw["extra"] = {"code_aware": True}
+        corpus = spark.read.parquet(args.corpus)
+        if not args.fields:
+            corpus = load_repo_files(spark, args.corpus)
+        meta = build_index(spark, corpus, args.index, IndexConfig(**cfg_kw))
         docs = sum(m["num_docs"] for m in meta.live_manifests().values())
         print(json.dumps({"built_docs": docs, "sec": time.time() - t0}))
     elif args.cmd == "merge":
         from pysearch.merge import force_merge, run_merge_round
 
+        compact = True if args.compact else None
         if args.force:
-            out = force_merge(spark, args.index, max_segments=args.force)
+            out = force_merge(spark, args.index, max_segments=args.force, compact=compact)
         else:
             out = run_merge_round(spark, args.index)
         print(json.dumps({"merged": out}))
     elif args.cmd == "query":
         from pysearch.query import Query, SearchIndex
 
+        fields = None
+        if args.fields:
+            fields = {
+                kv.split("=")[0].strip(): float(kv.split("=")[1])
+                for kv in args.fields.split(",")
+            }
         si = SearchIndex(spark, args.index)
-        hits = si.search(Query(text=args.text, k=args.k, filter_expr=args.filter))
-        for r in hits.collect():
+        q = Query(
+            text=args.text,
+            k=None if args.min_score is not None else args.k,
+            min_score=args.min_score,
+            filter_expr=args.filter,
+            fields=fields,
+        )
+        for r in si.search(q).collect():
             print(json.dumps({"doc_id": r["doc_id"], "score": r["score"], "path": r["path"]}))
+    elif args.cmd == "delete":
+        from pysearch.merge import delete_docs
+
+        ids = [int(x) for x in args.ids.split(",")] if args.ids else None
+        n = delete_docs(spark, args.index, key=args.key, doc_ids=ids, where=args.where)
+        print(json.dumps({"tombstoned": n}))
+    elif args.cmd == "verify":
+        from pysearch.admin import verify_index
+        from pysearch.corpus import load_repo_files
+
+        corpus = load_repo_files(spark, args.corpus) if args.corpus else None
+        print(json.dumps(verify_index(spark, args.index, corpus)))
+    elif args.cmd == "gc":
+        from pysearch.admin import gc_segments
+
+        print(json.dumps({"removed": gc_segments(args.index, dry_run=args.dry_run)}))
+    elif args.cmd == "stats":
+        from pysearch.admin import stats
+
+        rows = stats(spark, args.index).where("bucket = -1").collect()
+        for r in rows:
+            print(json.dumps({k: r[k] for k in ("segment_id", "stage", "num_docs", "n_postings", "payload_bytes", "wall_time_sec")}))
     return 0
 
 

@@ -45,7 +45,6 @@ from pysearch.build import (
     BLOCK_SCHEMA,
     _encode_bucket_factory,
     append_segment,
-    bucket_col,
     finalize_segment,
 )
 from pysearch.checkpoint import IndexMeta, read_parquet_union

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pysearch.checkpoint import IndexMeta, _write_json_atomic, read_parquet_union
-from pysearch.ops.similarity import _normalize, _space_similarities, train_centroids
+from pysearch.ops.similarity import _space_similarities, train_centroids
 
 _VEC_SCHEMA = T.StructType(
     [
