@@ -454,6 +454,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ip_topk"] = lambda s, d: similarity.similarity_topk(
         _emb(s, d), ANN_QUERY_IDS, k=10, space="innerproduct"
     ).select("query_id", "neighbor_id", "rank")
+    # hamming space over simhash sketches (binary-vector analog) — the sigs
+    # are SQL-bit-exact, so ranks AND distances verify
+    q["hamming_topk_simhash"] = lambda s, d: similarity.hamming_topk(
+        dedup.simhash_signatures(_docs(s, d)), [0, 1, 2, 3, 4], k=10
+    )
+
+    # ---- event-stream analytics (windowed aggs / sessions / profiles) -----
+    def _events(s, d):
+        return s.read.parquet(f"{d}/events.parquet")
+
+    from pysearch.ops import events as events_ops
+
+    q["events_windowed_counts"] = lambda s, d: events_ops.tumbling_counts(
+        _events(s, d)
+    )
+    q["events_sessionize"] = lambda s, d: events_ops.sessionize(_events(s, d), 30)
+    q["events_user_rollup"] = lambda s, d: events_ops.user_rollup(_events(s, d))
 
     # ---- relational internals demonstrated standalone (SURVEY §2.5:
     # aggregations / broadcast joins / windows are what the engine composes
@@ -874,6 +891,53 @@ SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
          )::BIGINT AS rk
   FROM orders
 ) WHERE rk <= 3
+"""
+    # hamming top-k over the bit-exact simhash sketches: signatures via the
+    # same SQL as dedup_simhash, then rank by bit_count(xor)
+    o["hamming_topk_simhash"] = f"""
+WITH tok AS (SELECT doc_id, unnest({tok}) AS t FROM documents),
+tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, t),
+hh AS (SELECT doc_id, tf, {_p63} AS h FROM tf),
+bits AS (SELECT doc_id, b, sum(tf * (CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) AS s
+         FROM hh, (SELECT unnest(generate_series(0,63)) AS b) bb GROUP BY doc_id, b),
+sig0 AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash FROM bits GROUP BY doc_id),
+sig AS (SELECT d.doc_id, coalesce(s0.simhash, 0) AS simhash FROM documents d LEFT JOIN sig0 s0 USING (doc_id))
+SELECT query_id, neighbor_id, hamming, rank FROM (
+  SELECT q.doc_id AS query_id, x.doc_id AS neighbor_id,
+         bit_count(xor(q.simhash, x.simhash))::INTEGER AS hamming,
+         row_number() OVER (
+           PARTITION BY q.doc_id
+           ORDER BY bit_count(xor(q.simhash, x.simhash)) ASC, x.doc_id ASC
+         ) AS rank
+  FROM sig q JOIN sig x ON x.doc_id <> q.doc_id
+  WHERE q.doc_id < 5
+) WHERE rank <= 10
+"""
+    # event-stream analytics: epoch-second exchange is timezone-proof;
+    # Spark unix_timestamp floors, so the SQL floors epoch() too
+    o["events_windowed_counts"] = """
+SELECT floor(epoch(date_trunc('day', ts)))::BIGINT AS window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+    o["events_sessionize"] = """
+WITH e AS (SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS t, value FROM events),
+f AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+s AS (SELECT *, (sum(new) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_id FROM f)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       min(t)::BIGINT AS start_epoch, max(t)::BIGINT AS end_epoch,
+       CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+    o["events_user_rollup"] = """
+SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases,
+       CAST(round(sum(value), 4) AS DOUBLE) AS sum_value,
+       count(DISTINCT date_trunc('day', ts))::BIGINT AS days_active,
+       max(json_extract_string(props, '$.k')::BIGINT) AS max_prop_k
+FROM events GROUP BY user_id
 """
     # rows-only (approximation quality is parameter-dependent; machine-checked
     # instead by the recall/agreement invariants in tests/test_entry.py):

@@ -171,6 +171,44 @@ def cosine_topk(
     )
 
 
+def hamming_topk(
+    sigs: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Exact hamming-distance top-k over 64-bit sketch signatures — the
+    binary/hamming space (SpaceType.java HAMMING; KNNScoringUtil bit
+    kernels), composed with any bit sketch (e.g. dedup.simhash_signatures).
+
+    Pure JVM column expressions end to end: the tiny query side broadcasts,
+    bit_count(xor) is codegen'd, one window ranks. Returns
+    (query_id, neighbor_id, hamming, rank); reference score translation for
+    hamming is 1/(1+d) (monotone, so ranks are translation-invariant)."""
+    q = sigs.where(F.col(id_col).isin([int(x) for x in query_ids])).select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(sig_col).alias("_qsig"),
+    )
+    out = (
+        sigs.select(
+            F.col(id_col).cast("long").alias("neighbor_id"), F.col(sig_col)
+        )
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "hamming", F.bit_count(F.col(sig_col).bitwiseXOR(F.col("_qsig")))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF
 # ---------------------------------------------------------------------------

@@ -240,3 +240,39 @@ def test_mmr_rerank_deterministic_and_diverse(emb_np):
     # λ=0 -> pure relevance order
     rel = rerank.mmr_rerank(cand, embs, k=8, lam=0.0)
     assert rel["doc_id"].tolist() == cand["doc_id"].head(8).tolist()
+
+
+# --- event analytics + hamming space ---------------------------------------
+
+def test_events_sessionize_properties(spark):
+    from pysearch.ops.events import sessionize
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sess = sessionize(ev, gap_minutes=30).toPandas()
+    # sessions partition the events exactly
+    assert sess["n_events"].sum() == ev.count()
+    # no session spans a gap: end-start <= (n-1)*gap
+    assert (
+        (sess["end_epoch"] - sess["start_epoch"])
+        <= (sess["n_events"] - 1).clip(lower=0) * 1800
+    ).all()
+    # session ids dense per user starting at 0
+    for uid, grp in sess.groupby("user_id"):
+        assert sorted(grp["session_id"]) == list(range(len(grp)))
+
+
+def test_hamming_topk_vs_python(spark, docs):
+    from pysearch.ops.similarity import hamming_topk
+
+    sigs = dedup.simhash_signatures(docs.limit(80))
+    pdf = sigs.toPandas()
+    ref = {int(r["doc_id"]): int(r["simhash"]) for _, r in pdf.iterrows()}
+    got = hamming_topk(sigs, [0, 3], k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["hamming"]))
+    for qid in (0, 3):
+        dists = sorted(
+            (bin(ref[qid] ^ s).count("1"), i) for i, s in ref.items() if i != qid
+        )[:5]
+        assert [(h, i) for _, i, h in sorted(by_q[qid])] == [(h, i) for h, i in dists]

@@ -60,3 +60,49 @@ def test_stream_ingest_matches_batch(spark, tmp_index, tmp_path):
     ]
     assert sorted(got) == sorted(exp)
     corpus.unpersist()
+
+
+def test_windowed_agg_streaming_equals_batch(spark, tmp_path):
+    """The SAME tumbling-window aggregation expression runs under Structured
+    Streaming (readStream + withWatermark + availableNow) and in batch, with
+    identical results — the watermarked windowed-agg surface of the task
+    brief. Late data handling comes from the watermark; availableNow drains
+    the backlog so the final state is the exact batch answer."""
+    from pyspark.sql import functions as F
+
+    from pysearch.ops.events import tumbling_counts
+
+    import shutil
+
+    # FileStreamSource needs a directory, the testdata table is one file
+    src = str(tmp_path / "events_src")
+    os.makedirs(src, exist_ok=True)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src + "/part-0.parquet")
+    batch_df = spark.read.parquet(src)
+    expect = sorted(
+        map(tuple, tumbling_counts(
+            batch_df.withColumn("ts", F.col("ts").cast("timestamp"))
+        ).collect())
+    )
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .parquet(src)
+        # parquet NTZ timestamps need the instant type for event-time
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    out_dir = str(tmp_path / "win_out")
+    chk = str(tmp_path / "win_chk")
+    q = (
+        tumbling_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("win_counts").collect()))
+    assert got == expect and len(got) > 0
