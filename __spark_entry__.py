@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- text analysis ----------------------------------------------------
     q["text_token_stats"] = lambda s, d: text_ops.token_stats(_docs(s, d))
+    q["text_bpe_token_stats"] = lambda s, d: text_ops.bpe_token_stats(_docs(s, d))
     q["text_quality_score"] = lambda s, d: text_ops.quality_score(_docs(s, d))
     q["text_language_id"] = lambda s, d: text_ops.language_id(_docs(s, d)).select(
         "doc_id", "lang_guess"
@@ -317,6 +318,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- dedup -------------------------------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d))
     q["dedup_jaccard_pairs"] = lambda s, d: dedup.jaccard_pairs(_docs(s, d), tau=0.95)
+    # word-3-gram shingle tier (the ngram>1 path; tighter near-dup notion)
+    q["dedup_jaccard_3gram"] = lambda s, d: dedup.jaccard_pairs(
+        _docs(s, d), tau=0.8, ngram=3
+    )
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
         _docs(s, d), tau=0.95, num_hashes=64, bands=16
     ).select("id_a", "id_b")
@@ -583,6 +588,39 @@ SELECT doc_id,
        len(list_distinct({tok}))::BIGINT AS n_unique,
        COALESCE(list_sum(list_transform({tok}, t -> len(t))), 0)::BIGINT AS token_chars
 FROM documents
+"""
+    o["text_bpe_token_stats"] = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS ws,
+         regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+') AS bpe
+  FROM documents
+)
+SELECT doc_id, len(ws)::BIGINT AS ws_tokens, len(bpe)::BIGINT AS bpe_tokens,
+       len(list_distinct(bpe))::BIGINT AS bpe_unique,
+       CAST(round(octet_length(encode(text)) * 1.0 / greatest(len(bpe), 1), 4) AS DOUBLE) AS chars_per_token
+FROM t
+"""
+    o["dedup_jaccard_3gram"] = f"""
+WITH tk AS (SELECT doc_id, {tok} AS toks FROM documents),
+t AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [] END) AS ts
+  FROM tk
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.ts, b.ts)) AS inter, len(a.ts) AS sa, len(b.ts) AS sb
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE len(a.ts) > 0 AND len(b.ts) > 0
+)
+SELECT id_a, id_b,
+       CAST(round(inter * 1.0 / (sa + sb - inter), 6) AS DOUBLE) AS jaccard
+FROM p WHERE inter * 1.0 / (sa + sb - inter) >= 0.8
 """
     o["text_quality_score"] = f"""
 WITH t AS (

@@ -35,6 +35,35 @@ def tokens_col(text_col):
     return F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_PATTERN), 0)
 
 
+# BPE-ish pre-tokenizer classes (GPT-style: letter runs, digit runs,
+# punctuation runs), restricted to a regex subset with IDENTICAL semantics in
+# Java regex (Spark) and RE2 (DuckDB): no lookarounds, no unicode classes
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting for LLM-training budgeting: whitespace words plus a
+    BPE-style pre-tokenization (letter/digit/punct runs — the unit a BPE
+    tokenizer would split further). Pure column expressions, codegen'd."""
+    ws = F.split(F.trim(F.col(text)), r"\s+")
+    bpe = F.regexp_extract_all(F.col(text), F.lit(BPE_PATTERN), 0)
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.when(F.length(F.trim(F.col(text))) == 0, F.lit(0))
+        .otherwise(F.size(ws))
+        .cast("long")
+        .alias("ws_tokens"),
+        F.size(bpe).cast("long").alias("bpe_tokens"),
+        F.size(F.array_distinct(bpe)).cast("long").alias("bpe_unique"),
+        # chars-per-BPE-token: the compression-rate proxy used for budgeting
+        F.round(
+            F.octet_length(F.col(text))
+            / F.greatest(F.size(bpe), F.lit(1)).cast("double"),
+            4,
+        ).alias("chars_per_token"),
+    )
+
+
 def token_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc token counting: total tokens, distinct tokens, token chars."""
     toks = tokens_col(F.col(text))
