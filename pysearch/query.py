@@ -658,6 +658,56 @@ class SearchIndex:
             "query_id", "rk"
         )
 
+    def search_batch_table(
+        self,
+        queries_df: DataFrame,
+        id_col: str = "query_id",
+        text_col: str = "text",
+        k_col: str | None = None,
+        filter_col: str | None = None,
+        default_k: int = 10,
+        chunk: int = 5_000,
+    ) -> DataFrame:
+        """Batch retrieval driven by a QUERY TABLE — the offline-evaluation /
+        training-data-join surface: one row per query (id, text, optional k
+        and filter columns), returns (query_id, doc_id, score) for all of
+        them. Query compilation (analysis, dictionary stats, field
+        expansion) is inherently driver-side, so the table is processed in
+        `chunk`-sized slices — each slice is ONE distributed job via
+        search_batch, so cost amortizes across queries and throughput scales
+        with executors."""
+        cols = [F.col(id_col).alias("_qid"), F.col(text_col).alias("_text")]
+        cols.append(
+            (F.col(k_col) if k_col else F.lit(default_k)).cast("int").alias("_k")
+        )
+        cols.append(
+            (F.col(filter_col) if filter_col else F.lit(None).cast("string")).alias("_f")
+        )
+        rows = queries_df.select(*cols).collect()
+        out = None
+        for lo in range(0, len(rows), chunk):
+            part = rows[lo : lo + chunk]
+            qs = [
+                Query(text=r["_text"], k=int(r["_k"]), filter_expr=r["_f"])
+                for r in part
+            ]
+            res = self.search_batch(qs)
+            id_map = self.spark.createDataFrame(
+                [(i, r["_qid"]) for i, r in enumerate(part)],
+                "q_pos long, query_id long",
+            )
+            res = (
+                res.withColumnRenamed("query_id", "q_pos")
+                .join(F.broadcast(id_map), "q_pos")
+                .select("query_id", "doc_id", "score")
+            )
+            out = res if out is None else out.unionByName(res)
+        if out is None:
+            return self.spark.createDataFrame(
+                [], "query_id long, doc_id long, score double"
+            )
+        return out
+
     def _tombstone_deny(self) -> DataFrame | None:
         """Per-segment deny rows from the delete files. Routing uses the
         manifest id RANGES (segments own disjoint doc_id ranges), so no

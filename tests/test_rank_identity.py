@@ -182,3 +182,33 @@ def test_reconstruct_source_roundtrip(spark, built):
     src = {(r["repo"], r["path"]): r["content"] for r in ids.collect()}
     assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in hits.collect()]
     assert all(src[(r["repo"], r["path"])] == r["content"] for r in rows)
+
+
+def test_search_batch_table_parity(spark, built):
+    """Query-table batch API: (query_id, text, k, filter) rows in, results
+    identical to per-query search(); chunking preserves original ids."""
+    idx, ids = built
+    si = SearchIndex(spark, idx)
+    qrows = [
+        (100, "license merge segment", 5, None),
+        (203, "import tok0100", 10, None),
+        (307, "data query tok0400", 7, "lang = 'go'"),
+        (451, "zzznotaterm", 5, None),
+    ]
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, text string, k int, filter string"
+    )
+    out = si.search_batch_table(
+        qdf, k_col="k", filter_col="filter", chunk=2  # force multi-chunk
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(float(r["score"]), 6))
+        )
+    for qid, text, k, filt in qrows:
+        single = [
+            (r["doc_id"], round(float(r["score"]), 6))
+            for r in si.search(Query(text=text, k=k, filter_expr=filt)).collect()
+        ]
+        assert sorted(by_q.get(qid, [])) == sorted(single), qid
