@@ -92,6 +92,134 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30, timeout_ms: int = 60_000):
+    """STREAMING sessionization — the custom stateful operator surface
+    (``applyInPandasWithState``): per user, an open session lives in group
+    state across micro-batches; completed sessions are emitted as soon as a
+    gap closes them, and idle state emits on processing-time timeout.
+
+    Semantics match :func:`sessionize` exactly (same gap rule, same 0-based
+    per-user session ids); the difference is operational: state is bounded
+    by (users x one open session), not by history. The kernel is vectorized
+    numpy over each batch's events (flags -> reduceat aggregates), no
+    per-row Python.
+
+    Input: a streaming DataFrame with (user_id, event_id, ts, value).
+    Output rows are CLOSED sessions only — the final open session per user
+    surfaces when its timeout fires (or compare against batch sessions minus
+    each user's last, as the tests do)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap = gap_minutes * 60
+    out_schema = (
+        "user_id long, session_id long, n_events long, "
+        "start_epoch long, end_epoch long, sum_value double"
+    )
+    state_schema = (
+        "session_id long, last_ts long, n long, start_ts long, sum_v double"
+    )
+
+    def fn(key, pdf_iter, state):
+        # local imports: the stateful-function closure is shipped standalone
+        # to workers (module globals are not captured)
+        import numpy as np
+        import pandas as pd
+
+        uid = int(key[0])
+
+        def row(sid, n, start, end, sv):
+            return {
+                "user_id": uid,
+                "session_id": int(sid),
+                "n_events": int(n),
+                "start_epoch": int(start),
+                "end_epoch": int(end),
+                "sum_value": round(float(sv), 4),
+            }
+
+        if state.hasTimedOut:
+            sid, last, n, start, sv = state.get
+            state.remove()
+            yield pd.DataFrame([row(sid, n, start, last, sv)])
+            return
+
+        ts_parts, val_parts, eid_parts = [], [], []
+        for pdf in pdf_iter:
+            if len(pdf):
+                ts_parts.append(pdf["_ts"].to_numpy(dtype=np.int64))
+                val_parts.append(pdf["value"].to_numpy(dtype=np.float64))
+                eid_parts.append(pdf["event_id"].to_numpy(dtype=np.int64))
+        if not ts_parts:
+            return
+        t = np.concatenate(ts_parts)
+        v = np.concatenate(val_parts)
+        e = np.concatenate(eid_parts)
+        order = np.lexsort((e, t))
+        t, v = t[order], v[order]
+
+        has_open = state.exists
+        if has_open:
+            sid, last, n0, start0, sv0 = state.get
+        else:
+            sid, last, n0, start0, sv0 = -1, None, 0, 0, 0.0
+
+        flags = np.empty(t.size, dtype=bool)
+        flags[0] = (last is None) or (t[0] - last > gap)
+        flags[1:] = np.diff(t) > gap
+        starts_idx = np.flatnonzero(flags)
+        bounds = np.append(starts_idx, t.size)
+        # group aggregates, one reduceat each (no per-row Python)
+        if starts_idx.size:
+            g_n = np.diff(bounds)
+            g_sum = np.add.reduceat(v, starts_idx)
+            g_start = t[starts_idx]
+            g_end = t[bounds[1:] - 1]
+        else:
+            g_n = np.empty(0, dtype=np.int64)
+            g_sum = g_start = g_end = g_n
+
+        out = []
+        # the open state either continues into the first rows (no flag at 0)
+        # or closes before them
+        if has_open and flags[0]:
+            out.append(row(sid, n0, start0, last, sv0))
+            has_open = False
+        if has_open and not flags[0]:
+            # merge leading rows (up to the first flag or end) into the
+            # open session
+            head_end = int(starts_idx[0]) if starts_idx.size else t.size
+            n0 += head_end
+            sv0 += float(v[:head_end].sum())
+            last = int(t[head_end - 1]) if head_end else last
+            if starts_idx.size:  # a later gap closes the merged session
+                out.append(row(sid, n0, start0, last, sv0))
+                has_open = False
+        # fresh groups: all but the final one close; the final stays open
+        n_groups = int(starts_idx.size)
+        for j in range(n_groups):
+            closing = j < n_groups - 1
+            sid += 1
+            if closing:
+                out.append(row(sid, g_n[j], g_start[j], g_end[j], g_sum[j]))
+            else:
+                state.update((int(sid), int(g_end[j]), int(g_n[j]), int(g_start[j]), float(g_sum[j])))
+        if has_open and n_groups == 0:
+            state.update((int(sid), int(last), int(n0), int(start0), float(sv0)))
+        state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    prepped = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_timestamp("ts").cast("long").alias("_ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+
 def user_rollup(events: DataFrame) -> DataFrame:
     """Per-user profile: event counts (total + per hot type), value stats,
     distinct days active, and the max of the JSON property ``$.k`` —

@@ -203,7 +203,7 @@ class SearchIndex:
         # (repo, path, lang, sha) from driver memory instead of a second
         # docmap-join job per query; big indexes stay on the fused-join path
         self._identity_cache: dict[int, tuple] | None = None
-        if 0 < self.num_docs <= 500_000 and self._docmaps_df is not None:
+        if 0 < self.num_docs <= self.IDENTITY_CACHE_MAX_DOCS and self._docmaps_df is not None:
             rows = self._docmaps_df.select(
                 "doc_id", "repo", "path", "lang", "content_sha"
             ).collect()
@@ -213,6 +213,10 @@ class SearchIndex:
             }
 
     MAX_PREFIX_EXPANSIONS = 50  # Lucene MultiTermQuery-style cap
+    # identity columns pinned driver-side below this doc count (one less
+    # Spark action per query); above it, winners resolve via an isin-pruned
+    # docmap lookup
+    IDENTITY_CACHE_MAX_DOCS = 500_000
 
     # -- plan helpers --------------------------------------------------------
     def _tokenize_query(self, text: str) -> list[str]:
@@ -473,18 +477,39 @@ class SearchIndex:
                 key=lambda t: (-round(t[1], 9), t[0]),
             )
             hits = spark.createDataFrame(data, _hits_out_schema())
+        elif query.min_score is None:
+            # big index, k mode: collect the tiny top-k (action 1), then an
+            # isin-pushdown docmap lookup (action 2) — the id predicate
+            # prunes parquet row groups (docmaps are doc_id-range-partitioned
+            # and sorted), so the lookup is O(k row groups) at any scale,
+            # unlike a full docmap scan fused into one action
+            rows = top.collect()
+            if not rows:
+                hits = spark.createDataFrame([], _hits_out_schema())
+            else:
+                scores = spark.createDataFrame(
+                    [(int(r["doc_id"]), float(r["score"])) for r in rows],
+                    "doc_id long, score double",
+                )
+                dm = self.docmaps().where(
+                    F.col("doc_id").isin([int(r["doc_id"]) for r in rows])
+                ).select("doc_id", "repo", "path", "lang", "content_sha")
+                hits = (
+                    dm.join(F.broadcast(scores), "doc_id", "inner")
+                    .select("doc_id", "score", "repo", "path", "lang", "content_sha")
+                    .orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+                )
         else:
+            # big index, radial mode: unbounded result set — keep it lazy
+            # and fused, let AQE pick the join strategy
             dm = self.docmaps().select(
                 "doc_id", "repo", "path", "lang", "content_sha"
             )
-            joined = (
-                dm.join(F.broadcast(top), "doc_id", "inner")
-                if query.min_score is None
-                else dm.join(top, "doc_id", "inner")  # unbounded: let AQE pick
+            hits = (
+                dm.join(top, "doc_id", "inner")
+                .select("doc_id", "score", "repo", "path", "lang", "content_sha")
+                .orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
             )
-            hits = joined.select(
-                "doc_id", "score", "repo", "path", "lang", "content_sha"
-            ).orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
         if with_metrics:
             # materialize before dropping the persisted kernel output (hits
             # are lazy and would otherwise recompute it)

@@ -212,3 +212,26 @@ def test_search_batch_table_parity(spark, built):
             for r in si.search(Query(text=text, k=k, filter_expr=filt)).collect()
         ]
         assert sorted(by_q.get(qid, [])) == sorted(single), qid
+
+
+def test_big_index_identity_path_rank_identity(spark, built, monkeypatch):
+    """The big-index identity path (driver cache disabled): isin-pruned
+    docmap lookup must return identical hits, k and radial mode."""
+    idx, ids = built
+    monkeypatch.setattr(SearchIndex, "IDENTITY_CACHE_MAX_DOCS", 0)
+    si = SearchIndex(spark, idx)
+    assert si._identity_cache is None
+    for q in [
+        Query(text="license merge segment", k=8),
+        Query(text="import tok0100", k=5, filter_expr="lang = 'go'"),
+        Query(text="license import merge", k=None, min_score=1.0),
+    ]:
+        got = _pairs(si.search(q))
+        orc = bm25_topk(
+            ids, q.text, k=q.k, min_score=q.min_score,
+            filter_expr=q.filter_expr, config=CFG,
+        )
+        assert got == _pairs(orc), q.text
+        # identity columns present and populated
+        row = si.search(Query(text="license", k=1)).collect()[0]
+        assert row["path"] and row["content_sha"]

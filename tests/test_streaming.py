@@ -106,3 +106,55 @@ def test_windowed_agg_streaming_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.table("win_counts").collect()))
     assert got == expect and len(got) > 0
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: the closed sessions a single
+    availableNow pass emits are EXACTLY the batch sessions minus each user's
+    final (still-open-in-state) session, with identical ids/aggregates."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pysearch.ops.events import sessionize, sessionize_stream
+
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src, exist_ok=True)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src + "/part-0.parquet")
+    batch_df = spark.read.parquet(src).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    full = sessionize(batch_df, 30).toPandas()
+    last_per_user = full.loc[full.groupby("user_id")["session_id"].idxmax()]
+    expect = full.merge(
+        last_per_user[["user_id", "session_id"]],
+        on=["user_id", "session_id"],
+        how="left",
+        indicator=True,
+    )
+    expect = expect[expect["_merge"] == "left_only"].drop(columns="_merge")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        sessionize_stream(stream, 30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "sess_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sess_out").toPandas()
+
+    cols = ["user_id", "session_id", "n_events", "start_epoch", "end_epoch", "sum_value"]
+    to_set = lambda df: {tuple(r) for r in df[cols].itertuples(index=False)}  # noqa: E731
+    got_s, closed_s, full_s = to_set(got), to_set(expect), to_set(full)
+    # every closed session is emitted with batch-identical aggregates; any
+    # extra rows are open sessions flushed by the processing-time timeout
+    # (whether the trigger runs that extra batch is timing-dependent)
+    assert closed_s and closed_s <= got_s
+    assert got_s <= full_s
