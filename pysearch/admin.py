@@ -157,9 +157,29 @@ def gc_segments(index_dir: str, dry_run: bool = False) -> list[str]:
         for d in sorted(os.listdir(meta.segments_dir))
         if d not in referenced and os.path.isdir(os.path.join(meta.segments_dir, d))
     ]
+    # delete files superseded by a tombstones_reset rewrite no longer affect
+    # any replay — collect them too (rolling delete+compact cycles would
+    # otherwise accumulate dead files forever)
+    live_deletes: set[str] = set()
+    for kind, val in meta.tombstone_events():
+        if kind == "reset":
+            live_deletes = {val} if val else set()
+        elif kind == "add_file":
+            live_deletes.add(val)
+    deletes_dir = meta.deletes_dir()
+    if os.path.isdir(deletes_dir):
+        live_names = {os.path.basename(p.rstrip("/")) for p in live_deletes}
+        for d in sorted(os.listdir(deletes_dir)):
+            if d not in live_names:
+                victims.append(os.path.join("deletes", d))
     if not dry_run:
         for d in victims:
-            shutil.rmtree(os.path.join(meta.segments_dir, d), ignore_errors=True)
+            path = (
+                os.path.join(meta.index_dir, d)
+                if d.startswith("deletes")
+                else os.path.join(meta.segments_dir, d)
+            )
+            shutil.rmtree(path, ignore_errors=True)
     return victims
 
 

@@ -147,11 +147,21 @@ class IndexMeta:
         a unique temp file fails if the seq was taken), retrying on collision.
         """
         with _COMMIT_LOCK:
-            if self.has_commit(key):
-                return False
             tmp = os.path.join(self.commits_dir, f".tmp__{key}.{os.getpid()}.json")
-            seq = len(self._commit_files())
+            suffix = f"__{key}.json"
             while True:
+                # key-idempotence and seq allocation from the SAME listing:
+                # if another process committed this key between iterations
+                # (its link can land under any seq), this re-check sees it
+                # before we would claim a second seq for the same key
+                files = self._commit_files()
+                if any(f.endswith(suffix) for f in files):
+                    try:
+                        os.unlink(tmp)
+                    except FileNotFoundError:
+                        pass
+                    return False
+                seq = len(files)
                 payload: dict[str, Any] = {
                     "seq": seq,
                     "key": key,
@@ -170,7 +180,7 @@ class IndexMeta:
                     os.unlink(tmp)
                     return True
                 except FileExistsError:
-                    seq += 1  # another writer took this seq — retry
+                    continue  # another writer took this seq — re-list, retry
 
     def live_segments(self) -> list[str]:
         live: list[str] = []

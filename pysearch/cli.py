@@ -136,10 +136,18 @@ def main(argv: list[str] | None = None) -> int:
 
         fields = None
         if args.fields:
-            fields = {
-                kv.split("=")[0].strip(): float(kv.split("=")[1])
-                for kv in args.fields.split(",")
-            }
+            fields = {}
+            for kv in args.fields.split(","):
+                name, sep, w = kv.partition("=")
+                if not sep or not name.strip():
+                    raise SystemExit(
+                        f"--fields expects name=weight pairs, got {kv!r} "
+                        "(e.g. content=1,title=2)"
+                    )
+                try:
+                    fields[name.strip()] = float(w)
+                except ValueError:
+                    raise SystemExit(f"--fields weight for {name!r} is not a number: {w!r}")
         si = SearchIndex(spark, args.index)
         q = Query(
             text=args.text,

@@ -267,7 +267,7 @@ def minhash_lsh_pairs(
     b_s = sets.select(
         F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b")
     )
-    return (
+    out = (
         cands.join(a_s, "id_a")
         .join(b_s, "id_b")
         .withColumn("inter", F.size(F.array_intersect("ts_a", "ts_b")).cast("long"))
@@ -279,6 +279,11 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= tau)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    # callers that materialize the pairs can release the cached shingle sets
+    # via out._pysearch_cached.unpersist() (same contract as
+    # corpus.assign_doc_ids); left cached, Spark evicts it LRU
+    out._pysearch_cached = sets
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -92,17 +92,23 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
-def sessionize_stream(events: DataFrame, gap_minutes: int = 30, timeout_ms: int = 60_000):
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, timeout_ms: int | None = None
+):
     """STREAMING sessionization — the custom stateful operator surface
     (``applyInPandasWithState``): per user, an open session lives in group
     state across micro-batches; completed sessions are emitted as soon as a
     gap closes them, and idle state emits on processing-time timeout.
 
-    Semantics match :func:`sessionize` exactly (same gap rule, same 0-based
-    per-user session ids); the difference is operational: state is bounded
-    by (users x one open session), not by history. The kernel is vectorized
-    numpy over each batch's events (flags -> reduceat aggregates), no
-    per-row Python.
+    Gap semantics match :func:`sessionize` (same rule, same 0-based per-user
+    session ids — the counter survives timeouts); the difference is
+    operational: state is bounded by (users x one open session), not by
+    history. ``timeout_ms`` defaults to the GAP itself, so under real-time
+    arrival the processing-time flush approximates the event-time gap; an
+    out-of-order replay can flush a session the batch operator would still
+    extend — use the batch operator for exact retrospective sessions. The
+    kernel is vectorized numpy over each batch's events (flags -> reduceat
+    aggregates), no per-row Python.
 
     Input: a streaming DataFrame with (user_id, event_id, ts, value).
     Output rows are CLOSED sessions only — the final open session per user
@@ -111,6 +117,8 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30, timeout_ms: int 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap = gap_minutes * 60
+    if timeout_ms is None:
+        timeout_ms = gap * 1000
     out_schema = (
         "user_id long, session_id long, n_events long, "
         "start_epoch long, end_epoch long, sum_value double"
@@ -139,8 +147,15 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30, timeout_ms: int 
 
         if state.hasTimedOut:
             sid, last, n, start, sv = state.get
-            state.remove()
-            yield pd.DataFrame([row(sid, n, start, last, sv)])
+            if n > 0:
+                # flush the open session but KEEP the state row (n=0 marks
+                # "no open session") so the per-user session_id counter
+                # survives — a later event must not reuse an emitted id
+                state.update((int(sid), int(last), 0, 0, 0.0))
+                state.setTimeoutDuration(timeout_ms)
+                yield pd.DataFrame([row(sid, n, start, last, sv)])
+            else:
+                state.remove()  # idle twice with nothing open: clean up
             return
 
         ts_parts, val_parts, eid_parts = [], [], []
@@ -157,11 +172,14 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30, timeout_ms: int 
         order = np.lexsort((e, t))
         t, v = t[order], v[order]
 
-        has_open = state.exists
-        if has_open:
+        if state.exists:
             sid, last, n0, start0, sv0 = state.get
+            has_open = n0 > 0  # n=0: counter-only state after a timeout flush
+            if not has_open:
+                last = None
         else:
             sid, last, n0, start0, sv0 = -1, None, 0, 0, 0.0
+            has_open = False
 
         flags = np.empty(t.size, dtype=bool)
         flags[0] = (last is None) or (t[0] - last > gap)

@@ -148,6 +148,8 @@ class Query:
                 raise ValueError("fields, when given, must be non-empty")
             if any(w <= 0 for w in self.fields.values()):
                 raise ValueError("field weights must be > 0")
+        if self.overquery_factor is not None and self.overquery_factor < 1:
+            raise ValueError("overquery_factor must be >= 1")
 
 
 class SearchIndex:
@@ -251,6 +253,43 @@ class SearchIndex:
                     out.append(t)
         return out
 
+    def _compile_query(self, query: Query, fn) -> dict:
+        """Per-query compilation shared by search() and search_batch():
+        phrase parse, field validation, term-key expansion into each queried
+        field's namespace (the weight scales the field's contributions,
+        per-field avgdl feeds the norm)."""
+        from pysearch.build import term_key
+
+        rest, phrases = parse_phrases(query.text, fn)
+        if phrases and not self.config.store_positions:
+            raise ValueError(
+                "phrase queries need an index built with store_positions=True"
+            )
+        primary = self.index_fields[0]
+        qfields = query.fields or {primary: 1.0}
+        unknown = set(qfields) - set(self.index_fields)
+        if unknown:
+            raise ValueError(
+                f"query fields {sorted(unknown)} not indexed; index has "
+                f"{list(self.index_fields)}"
+            )
+        if phrases and primary not in qfields:
+            raise ValueError(
+                "phrase queries match the primary field; include it in fields"
+            )
+        base_terms = self._tokenize_query(rest)
+        keys: list[str] = []
+        weights: dict[str, float] = {}
+        avgdl: dict[str, float] = {}
+        for f in sorted(qfields):
+            for t in base_terms:
+                kk = term_key(f, t, primary)
+                if kk not in weights:
+                    keys.append(kk)
+                    weights[kk] = float(qfields[f])
+                    avgdl[kk] = self.avgdl_fields[f]
+        return {"keys": keys, "weights": weights, "avgdl": avgdl, "phrases": phrases}
+
     def expand_prefix(self, prefix: str) -> list[str]:
         """All indexed PRIMARY-field terms starting with `prefix`,
         term-ascending, capped. Extra fields' namespaced dictionary entries
@@ -344,38 +383,11 @@ class SearchIndex:
         cfg = self.config
 
         fn = tokenize_code_text if cfg.extra.get("code_aware") else tokenize_text
-        rest, phrases = parse_phrases(query.text, fn)
-        if phrases and not cfg.store_positions:
-            raise ValueError(
-                "phrase queries need an index built with store_positions=True"
-            )
-        primary = self.index_fields[0]
-        qfields = query.fields or {primary: 1.0}
-        unknown = set(qfields) - set(self.index_fields)
-        if unknown:
-            raise ValueError(
-                f"query fields {sorted(unknown)} not indexed; index has "
-                f"{list(self.index_fields)}"
-            )
-        if phrases and primary not in qfields:
-            raise ValueError(
-                "phrase queries match the primary field; include it in fields"
-            )
-        base_terms = self._tokenize_query(rest)
-        # expand every term into each queried field's namespace; the weight
-        # scales the field's contributions, per-field avgdl feeds the norm
-        from pysearch.build import term_key
-
-        keys: list[str] = []
-        weight_map: dict[str, float] = {}
-        avgdl_map: dict[str, float] = {}
-        for f in sorted(qfields):
-            for t in base_terms:
-                kk = term_key(f, t, primary)
-                if kk not in weight_map:
-                    keys.append(kk)
-                    weight_map[kk] = float(qfields[f])
-                    avgdl_map[kk] = self.avgdl_fields[f]
+        compiled = self._compile_query(query, fn)
+        keys, weight_map, avgdl_map, phrases = (
+            compiled["keys"], compiled["weights"], compiled["avgdl"],
+            compiled["phrases"],
+        )
         stats = self.global_term_stats(keys)
         empty_hits = spark.createDataFrame([], _hits_out_schema())
         # a phrase containing a zero-hit term can never match
@@ -540,50 +552,27 @@ class SearchIndex:
         all_terms: list[str] = []
         avgdl_map: dict[str, float] = {}
         fn = tokenize_code_text if cfg.extra.get("code_aware") else tokenize_text
-        primary = self.index_fields[0]
-        from pysearch.build import term_key
-
         any_phrases = False
         for qid, q in enumerate(queries):
             q.validate()
-            rest, phrases = parse_phrases(q.text, fn)
-            if phrases and not cfg.store_positions:
-                raise ValueError(
-                    "phrase queries need an index built with store_positions=True"
-                )
-            qfields = q.fields or {primary: 1.0}
-            unknown = set(qfields) - set(self.index_fields)
-            if unknown:
-                raise ValueError(f"query {qid}: fields {sorted(unknown)} not indexed")
-            if phrases and primary not in qfields:
-                raise ValueError(
-                    f"query {qid}: phrases match the primary field; include it"
-                )
-            base_terms = self._tokenize_query(rest)
-            keys: list[str] = []
-            weights: dict[str, float] = {}
-            for f in sorted(qfields):
-                for t in base_terms:
-                    kk = term_key(f, t, primary)
-                    if kk not in weights:
-                        keys.append(kk)
-                        weights[kk] = float(qfields[f])
-                        avgdl_map[kk] = self.avgdl_fields[f]
-            any_phrases = any_phrases or bool(phrases)
+            compiled = self._compile_query(q, fn)
+            avgdl_map.update(compiled["avgdl"])
+            any_phrases = any_phrases or bool(compiled["phrases"])
             qinfos.append(
                 {
                     "qid": qid,
-                    "terms": keys,
-                    "weights": weights,
-                    "phrases": phrases,
+                    "terms": compiled["keys"],
+                    "weights": compiled["weights"],
+                    "phrases": compiled["phrases"],
                     # min_score (radial) queries are unbounded by contract:
                     # no per-segment or global truncation (mirrors search())
                     "k": q.k if q.k is not None else (1 << 40),
                     "min_score": q.min_score,
                     "has_filter": q.filter_expr is not None,
+                    "oq": q.overquery_factor,  # honored like search() does
                 }
             )
-            all_terms.extend(t for t in keys if t not in all_terms)
+            all_terms.extend(t for t in compiled["keys"] if t not in all_terms)
 
         stats = self.global_term_stats(all_terms)
         live_terms = [t for t in all_terms if t in stats]
@@ -701,14 +690,27 @@ class SearchIndex:
         `chunk`-sized slices — each slice is ONE distributed job via
         search_batch, so cost amortizes across queries and throughput scales
         with executors."""
+        id_field = queries_df.schema[id_col]
         cols = [F.col(id_col).alias("_qid"), F.col(text_col).alias("_text")]
-        cols.append(
-            (F.col(k_col) if k_col else F.lit(default_k)).cast("int").alias("_k")
+        # null k cells fall back to default_k
+        k_expr = (
+            F.coalesce(F.col(k_col).cast("int"), F.lit(default_k))
+            if k_col
+            else F.lit(default_k)
         )
+        cols.append(k_expr.alias("_k"))
         cols.append(
             (F.col(filter_col) if filter_col else F.lit(None).cast("string")).alias("_f")
         )
         rows = queries_df.select(*cols).collect()
+        from pyspark.sql import types as _T
+
+        id_map_schema = _T.StructType(
+            [
+                _T.StructField("q_pos", _T.LongType()),
+                _T.StructField("query_id", id_field.dataType),  # caller's id type
+            ]
+        )
         out = None
         for lo in range(0, len(rows), chunk):
             part = rows[lo : lo + chunk]
@@ -718,8 +720,7 @@ class SearchIndex:
             ]
             res = self.search_batch(qs)
             id_map = self.spark.createDataFrame(
-                [(i, r["_qid"]) for i, r in enumerate(part)],
-                "q_pos long, query_id long",
+                [(i, r["_qid"]) for i, r in enumerate(part)], id_map_schema
             )
             res = (
                 res.withColumnRenamed("query_id", "q_pos")
@@ -728,9 +729,14 @@ class SearchIndex:
             )
             out = res if out is None else out.unionByName(res)
         if out is None:
-            return self.spark.createDataFrame(
-                [], "query_id long, doc_id long, score double"
+            empty_schema = _T.StructType(
+                [
+                    _T.StructField("query_id", id_field.dataType),
+                    _T.StructField("doc_id", _T.LongType()),
+                    _T.StructField("score", _T.DoubleType()),
+                ]
             )
+            return self.spark.createDataFrame([], empty_schema)
         return out
 
     def _tombstone_deny(self) -> DataFrame | None:
@@ -893,7 +899,7 @@ def _batch_search_factory(
                 order = np.lexsort((ids, -scores))
             else:
                 k_keep = first_pass_k(
-                    info["k"], None, len(info["terms"]), floor=overquery
+                    info["k"], info["oq"], len(info["terms"]), floor=overquery
                 )
                 order = np.lexsort((ids, -scores))[:k_keep]
             outs.append(

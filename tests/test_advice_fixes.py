@@ -124,3 +124,30 @@ def test_first_pass_k_clamps_and_defaults():
     assert first_pass_k(200, None, n_terms=12) == 200  # >=10 terms -> 1x
     # config floor raises the default, never lowers it
     assert first_pass_k(200, None, n_terms=12, floor=5) == 1000
+
+
+def test_commit_key_idempotent_across_handles(tmp_index):
+    """Same key via different IndexMeta handles (the cross-process shape):
+    exactly one commit lands; a pre-claimed seq is skipped, not corrupted."""
+    m1, m2 = IndexMeta(tmp_index), IndexMeta(tmp_index)
+    m1.initialize(IndexConfig())
+    assert m1.append_commit("dup", op="add") is True
+    assert m2.append_commit("dup", op="add") is False  # second writer yields
+    files = [f for f in m1._commit_files() if f.endswith("__dup.json")]
+    assert len(files) == 1
+    # a foreign file claiming the next seq forces the retry path
+    seq = len(m1._commit_files())
+    import json as _json
+
+    with open(os.path.join(m1.commits_dir, f"{seq:08d}__foreign.json"), "w") as f:
+        _json.dump({"seq": seq, "key": "foreign", "op": "add", "adds": [],
+                    "removes": [], "deleted_doc_ids": []}, f)
+    assert m2.append_commit("after", op="add") is True
+    seqs = [int(f.split("__")[0]) for f in m1._commit_files()]
+    assert sorted(seqs) == list(range(len(seqs)))
+
+
+def test_overquery_validation():
+    with pytest.raises(ValueError):
+        Query(text="x", k=5, overquery_factor=0).validate()
+    Query(text="x", k=5, overquery_factor=1).validate()  # ok
