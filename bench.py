@@ -87,10 +87,11 @@ def main() -> None:
         si.search(
             Query(text=q["query_text"], k=q["k"], filter_expr=q["filter_expr"])
         ).collect()
-    # two passes, per-query minimum: the shared host injects multi-hundred-ms
-    # noise spikes; the per-query min is the reproducible steady-state latency
+    # three passes, per-query minimum: the shared host injects multi-hundred-
+    # ms noise spikes; the per-query min is the reproducible steady-state
+    # latency
     lats = [float("inf")] * len(qset)
-    for _ in range(2):
+    for _ in range(3):
         for i, q in enumerate(qset):
             t0 = time.time()
             si.search(
