@@ -1,4 +1,4 @@
-"""spark-submit entry points:  build | merge | query | delete | verify | gc | stats.
+"""spark-submit entry points:  build | merge | query | delete | verify | gc | stats | serve.
 
 Cluster usage (north_rule):
     zip -r pysearch.zip pysearch
@@ -97,6 +97,11 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--index", required=True)
     ps.add_argument("--cpus", default=None)
 
+    pserve = sub.add_parser("serve")
+    pserve.add_argument("--index", required=True)
+    pserve.add_argument("--port", type=int, default=8080)
+    pserve.add_argument("--cpus", default=None)
+
     args = p.parse_args(argv)
     spark = _spark(args.cpus)
 
@@ -180,6 +185,16 @@ def main(argv: list[str] | None = None) -> int:
         rows = stats(spark, args.index).where("bucket = -1").collect()
         for r in rows:
             print(json.dumps({k: r[k] for k in ("segment_id", "stage", "num_docs", "n_postings", "payload_bytes", "wall_time_sec")}))
+    elif args.cmd == "serve":
+        import threading
+
+        from pysearch.query import SearchIndex
+        from pysearch.server import serve as _serve
+
+        si = SearchIndex(spark, args.index)
+        _serve(si, args.port)
+        print(json.dumps({"serving": f"http://127.0.0.1:{args.port}", "docs": si.num_docs}), flush=True)
+        threading.Event().wait()
     return 0
 
 

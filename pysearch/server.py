@@ -1,0 +1,139 @@
+"""Minimal query-serving surface — the Q16 transport analog.
+
+The reference exposes search over OpenSearch's REST/gRPC transports
+(KNNQueryBuilder consumed by the _search endpoint; SURVEY §2.4 Q16). The
+Spark-native analog is a thin JSON-over-HTTP front on a long-lived
+SparkSession + SearchIndex handle: the driver is the coordinator node, the
+executors are the data nodes, and every request reuses the warmed session
+(dictionary/identity caches, parquet footers) exactly like a reader-cache in
+the reference.
+
+Deliberately stdlib-only (http.server): the transport is NOT the engine —
+swap in any ASGI stack in production; the handler body is the whole
+integration surface.
+
+    POST /search   {"text": "...", "k": 10, "min_score": null,
+                    "filter": "lang = 'py'", "fields": {"content": 1.0}}
+    GET  /stats    index-level stats (segments, docs, tombstones)
+
+Run: ``python -m pysearch.server --index <dir> [--port 8080]`` or via
+``pysearch.cli serve``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pysearch.query import Query, SearchIndex
+
+
+def make_handler(si: SearchIndex, lock: threading.Lock):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/stats":
+                return self._send(404, {"error": "unknown path"})
+            with lock:
+                m = si.manifests
+                self._send(
+                    200,
+                    {
+                        "segments": len(m),
+                        "num_docs": si.num_docs,
+                        "avgdl": round(si.avgdl, 4),
+                        "fields": list(si.index_fields),
+                        "tombstones": si.meta.tombstone_count(),
+                    },
+                )
+
+        def do_POST(self):
+            if self.path != "/search":
+                return self._send(404, {"error": "unknown path"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                q = Query(
+                    text=req["text"],
+                    k=req.get("k", 10) if req.get("min_score") is None else None,
+                    min_score=req.get("min_score"),
+                    filter_expr=req.get("filter"),
+                    fields=req.get("fields"),
+                    overquery_factor=req.get("overquery_factor"),
+                )
+                q.validate()
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                return self._send(400, {"error": str(e)})
+            # Spark driver calls are serialized: one session, many HTTP
+            # threads (the coordinator pattern — parallelism lives in the
+            # cluster, not in concurrent driver actions)
+            with lock:
+                try:
+                    rows = si.search(q).collect()
+                except Exception as e:  # surface engine errors as 400s
+                    return self._send(400, {"error": str(e)})
+            self._send(
+                200,
+                {
+                    "hits": [
+                        {
+                            "doc_id": r["doc_id"],
+                            "score": r["score"],
+                            "repo": r["repo"],
+                            "path": r["path"],
+                            "lang": r["lang"],
+                            "content_sha": r["content_sha"],
+                        }
+                        for r in rows
+                    ]
+                },
+            )
+
+    return Handler
+
+
+def serve(si: SearchIndex, port: int = 8080) -> ThreadingHTTPServer:
+    """Start the HTTP server (non-blocking; returns the server — call
+    .shutdown() to stop, or .serve_forever() via the returned thread)."""
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", port), make_handler(si, threading.Lock())
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    from pyspark.sql import SparkSession
+
+    ap = argparse.ArgumentParser(prog="pysearch-server")
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args(argv)
+    spark = SparkSession.builder.appName("pysearch-server").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    si = SearchIndex(spark, args.index)
+    server = serve(si, args.port)
+    print(json.dumps({"serving": f"http://127.0.0.1:{args.port}", "docs": si.num_docs}))
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
