@@ -186,15 +186,10 @@ def main(argv: list[str] | None = None) -> int:
         for r in rows:
             print(json.dumps({k: r[k] for k in ("segment_id", "stage", "num_docs", "n_postings", "payload_bytes", "wall_time_sec")}))
     elif args.cmd == "serve":
-        import threading
-
         from pysearch.query import SearchIndex
-        from pysearch.server import serve as _serve
+        from pysearch.server import run_blocking
 
-        si = SearchIndex(spark, args.index)
-        _serve(si, args.port)
-        print(json.dumps({"serving": f"http://127.0.0.1:{args.port}", "docs": si.num_docs}), flush=True)
-        threading.Event().wait()
+        run_blocking(SearchIndex(spark, args.index), args.port)
     return 0
 
 

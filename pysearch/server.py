@@ -58,22 +58,34 @@ def make_handler(si: SearchIndex, lock: threading.Lock):
                     },
                 )
 
+        MAX_BODY = 1 << 20  # JSON query bodies are tiny; cap the read
+
         def do_POST(self):
             if self.path != "/search":
                 return self._send(404, {"error": "unknown path"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if not (0 <= n <= self.MAX_BODY):
+                    return self._send(400, {"error": "bad Content-Length"})
                 req = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("request body must be a JSON object")
+                # pass k/min_score through verbatim: supplying both is the
+                # client's contract violation and must surface as a 400
+                # (Query.validate enforces exactly-one), never be papered over
+                k = req.get("k", 10 if req.get("min_score") is None else None)
                 q = Query(
                     text=req["text"],
-                    k=req.get("k", 10) if req.get("min_score") is None else None,
+                    k=k,
                     min_score=req.get("min_score"),
                     filter_expr=req.get("filter"),
                     fields=req.get("fields"),
                     overquery_factor=req.get("overquery_factor"),
                 )
                 q.validate()
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except KeyError as e:
+                return self._send(400, {"error": f"missing field {e}"})
+            except Exception as e:  # malformed JSON / wrong types / bad values
                 return self._send(400, {"error": str(e)})
             # Spark driver calls are serialized: one session, many HTTP
             # threads (the coordinator pattern — parallelism lives in the
@@ -81,8 +93,10 @@ def make_handler(si: SearchIndex, lock: threading.Lock):
             with lock:
                 try:
                     rows = si.search(q).collect()
-                except Exception as e:  # surface engine errors as 400s
+                except ValueError as e:  # engine-level request rejection
                     return self._send(400, {"error": str(e)})
+                except Exception as e:  # genuine server-side failure
+                    return self._send(500, {"error": str(e)})
             self._send(
                 200,
                 {
@@ -104,14 +118,33 @@ def make_handler(si: SearchIndex, lock: threading.Lock):
 
 
 def serve(si: SearchIndex, port: int = 8080) -> ThreadingHTTPServer:
-    """Start the HTTP server (non-blocking; returns the server — call
-    .shutdown() to stop, or .serve_forever() via the returned thread)."""
+    """Start the HTTP server on a daemon thread (non-blocking). Returns the
+    bound server: read ``.server_address`` for the actual port (pass port=0
+    for an ephemeral one), call ``.shutdown()`` to stop."""
     server = ThreadingHTTPServer(
         ("127.0.0.1", port), make_handler(si, threading.Lock())
     )
-    t = threading.Thread(target=server.serve_forever, daemon=True)
-    t.start()
+    threading.Thread(target=server.serve_forever, daemon=True).start()
     return server
+
+
+def run_blocking(si: SearchIndex, port: int) -> None:
+    """Serve until interrupted; shared by `python -m pysearch.server` and
+    `pysearch.cli serve` (clean shutdown on Ctrl-C)."""
+    server = serve(si, port)
+    print(
+        json.dumps(
+            {
+                "serving": f"http://127.0.0.1:{server.server_address[1]}",
+                "docs": si.num_docs,
+            }
+        ),
+        flush=True,
+    )
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        server.shutdown()
 
 
 def main(argv=None) -> int:
@@ -125,13 +158,7 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     spark = SparkSession.builder.appName("pysearch-server").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    si = SearchIndex(spark, args.index)
-    server = serve(si, args.port)
-    print(json.dumps({"serving": f"http://127.0.0.1:{args.port}", "docs": si.num_docs}))
-    try:
-        threading.Event().wait()
-    except KeyboardInterrupt:
-        server.shutdown()
+    run_blocking(SearchIndex(spark, args.index), args.port)
     return 0
 
 

@@ -21,8 +21,9 @@ def served(spark, tmp_path_factory):
         IndexConfig(segment_rows=128, term_buckets=8),
     )
     si = SearchIndex(spark, idx)
-    server = serve(si, port=18231)
-    yield si, "http://127.0.0.1:18231"
+    server = serve(si, port=0)  # ephemeral: parallel test runs can't collide
+    port = server.server_address[1]
+    yield si, f"http://127.0.0.1:{port}"
     server.shutdown()
 
 
@@ -52,13 +53,20 @@ def test_http_search_matches_engine(served):
 def test_http_filtered_and_errors(served):
     si, url = served
     status, body = _post(url, {"text": "license", "k": 3, "filter": "lang = 'rust'"})
-    assert status == 200 and all(h["lang"] == "rust" for h in body["hits"])
+    assert status == 200 and body["hits"]  # non-vacuous: the filter matched
+    assert all(h["lang"] == "rust" for h in body["hits"])
     status, body = _post(url, {"k": 3})  # missing text
     assert status == 400 and "error" in body
     status, body = _post(url, {"text": "x", "k": 0})  # invalid k
     assert status == 400
     status, body = _post(url, {"text": "x", "k": 5, "fields": {"nope": 1.0}})
     assert status == 400  # unknown field surfaces as a client error
+    status, body = _post(url, {"text": "x", "k": 5, "min_score": 0.1})
+    assert status == 400  # exactly-one-of contract is surfaced, not masked
+    status, body = _post(url, {"text": "x", "k": "ten"})
+    assert status == 400  # type confusion is a 400, not a dropped connection
+    status, body = _post(url, [1, 2])
+    assert status == 400  # non-object JSON body
 
 
 def test_http_stats(served):
