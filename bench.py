@@ -122,27 +122,50 @@ def main() -> None:
     meta2 = build_index(spark, docs_corpus, idx2, cfg2)
     queries_out["build_documents_corpus"] = round(time.time() - t0, 3)
     si2 = SearchIndex(spark, idx2)
-    for name, text in [
-        ("q_single", "spark"),
-        ("q_multi", "merge join filter stream"),
-        ("q_k100", "data query group"),
-    ]:
-        t0 = time.time()
-        si2.search(Query(text=text, k=100 if name == "q_k100" else 10)).collect()
-        queries_out[name] = round(time.time() - t0, 4)
+    # uniform protocol with the p50 section: untimed warm-up, then per-query
+    # minimum over 3 passes (the shared host injects multi-hundred-ms spikes)
+    doc_qs = [
+        ("q_single", "spark", 10),
+        ("q_multi", "merge join filter stream", 10),
+        ("q_k100", "data query group", 100),
+    ]
+    si2.search(Query(text="warm cache terms", k=10)).collect()
+    doc_best = {name: float("inf") for name, _, _ in doc_qs}
+    for _ in range(3):
+        for name, text, kk in doc_qs:
+            t0 = time.time()
+            si2.search(Query(text=text, k=kk)).collect()
+            doc_best[name] = min(doc_best[name], time.time() - t0)
+    for name, best_t in doc_best.items():
+        queries_out[name] = round(best_t, 4)
 
     # ---- 3b) merge modes (reference headline: incremental << rebuild) -----
+    # best-of-2 across the two identical build-trial indexes (merge commits
+    # are idempotent per input set, so a repeat on the SAME index would
+    # short-circuit — two indexes give two real cold-state trials)
     from pysearch.checkpoint import IndexMeta
     from pysearch.merge import merge_segments
 
-    segs = IndexMeta(idx).live_segments()
-    if len(segs) >= 2:
-        t0 = time.time()
-        merge_segments(spark, idx, segs, compact=False)
-        queries_out["merge_incremental"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        merge_segments(spark, idx, segs, compact=True)
-        queries_out["merge_compact_rebuild"] = round(time.time() - t0, 3)
+    idx_b = os.path.join(work, "idx_b")
+    merge_targets = [
+        (d, IndexMeta(d).live_segments())
+        for d in (idx, idx_b)
+        if os.path.isdir(d) and len(IndexMeta(d).live_segments()) >= 2
+    ]
+    if merge_targets:
+        inc_trials, cmp_trials = [], []
+        for d, segs in merge_targets:
+            t0 = time.time()
+            merge_segments(spark, d, segs, compact=False)
+            inc_trials.append(time.time() - t0)
+        for d, segs in merge_targets:
+            t0 = time.time()
+            merge_segments(spark, d, segs, compact=True)
+            cmp_trials.append(time.time() - t0)
+        queries_out["merge_incremental"] = round(min(inc_trials), 3)
+        queries_out["merge_compact_rebuild"] = round(min(cmp_trials), 3)
+        for i, x in enumerate(cmp_trials):
+            queries_out[f"merge_compact_trial_{i}"] = round(x, 3)
 
     # ---- 4) pipeline ops on the sf tables ----------------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -147,11 +147,22 @@ def gc_segments(index_dir: str, dry_run: bool = False) -> list[str]:
     live = set(meta.live_segments())
     referenced: set[str] = set(live)
     for s in live:
-        for kind in ("postings", "docmap", "dictionary"):
-            for rel in meta.storage_rel(s, kind):
-                parts = rel.replace(os.sep, "/").split("/")
-                if len(parts) >= 2 and parts[0] == "segments":
-                    referenced.add(parts[1])
+        rels = [
+            rel
+            for kind in ("postings", "docmap", "dictionary")
+            for rel in meta.storage_rel(s, kind)
+        ]
+        # manifest storage pointers of ANY kind (e.g. the vector index's
+        # "cells") also protect their input directories
+        mf = meta.read_manifest(s) if os.path.exists(
+            os.path.join(meta.manifest_dir, f"{s}.json")
+        ) else {}
+        for ps in (mf.get("storage") or {}).values():
+            rels.extend(ps)
+        for rel in rels:
+            parts = rel.replace(os.sep, "/").split("/")
+            if len(parts) >= 2 and parts[0] == "segments":
+                referenced.add(parts[1])
     victims = [
         d
         for d in sorted(os.listdir(meta.segments_dir))

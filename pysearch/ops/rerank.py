@@ -35,6 +35,27 @@ def group_top_docs(
     )
 
 
+def expand_group_docs(
+    parents_topk: DataFrame,
+    all_children: DataFrame,
+    group_col: str,
+    parent_score_col: str = "score",
+) -> DataFrame:
+    """Expand-nested analog (ExpandNestedDocsQuery.java:1-141): given the
+    per-group winners of a grouped search, return ALL children of every
+    matched group — the reference returns every nested doc of a matched
+    parent, not just the best one. The parent's (group) best score is
+    attached to each child so callers can rank groups.
+
+    Plan shape: the matched-group side is top-k-sized (tiny), so it
+    broadcasts into the children scan — one pass over the child table, no
+    shuffle of the big side."""
+    parents = parents_topk.groupBy(group_col).agg(
+        F.max(parent_score_col).alias("parent_score")
+    )
+    return all_children.join(F.broadcast(parents), group_col, "inner")
+
+
 def mmr_rerank(
     candidates: pd.DataFrame,
     embeddings: dict[int, np.ndarray] | pd.DataFrame,

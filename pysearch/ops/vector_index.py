@@ -8,26 +8,43 @@ reference's on-disk ANN index, Spark-first, with the FULL segment lifecycle
              metadata; vectors land in cell-partitioned parquet under an
              immutable segment + manifest + commit log (REUSES
              pysearch.checkpoint.IndexMeta verbatim).
+* quantize   optional int8 compression tier (JVectorIndexQuantization.java:
+             45-140 analog): per-vector min/max scalar quantization stored in
+             a `qcode` binary column NEXT TO the full-precision column —
+             parquet column pruning means the approximate traversal reads
+             1 byte/dim while the exact rerank fetches 4 bytes/dim for the
+             few candidates only (the two-tier trigger-policy shape of
+             JVectorWriter.java:263-283).
 * append     new vectors become a NEW immutable segment assigned with the
              EXISTING centroids — the codebook/compression-state reuse analog
              (JVectorWriter.java:1072-1152: merged segments reuse the
              quantization state instead of retraining).
 * delete     tombstone commits referencing parquet delete files (same
              scalable mechanics as the text index; liveDocs analog).
-* merge      compact all live segments into one: union minus tombstones,
-             re-partitioned by cell, centroids REUSED (no retrain), inputs
-             retired + tombstone state rewritten in one atomic commit —
-             mergeOneField (JVectorWriter.java:192-213) re-expressed.
+* merge      two modes, mirroring the text index exactly:
+             - INCREMENTAL (default, JVectorWriter.java:1166-1341): cells are
+               vec-disjoint across segments and address vectors by global id,
+               so the merged cell set IS the union of the inputs' cell files
+               — the merge is PURE METADATA: one manifest with storage
+               pointers at the inputs' data dirs, zero bytes moved.
+             - COMPACT (density guard / force): union minus tombstones,
+               re-partitioned by cell, centroids REUSED (no retrain), inputs
+               retired + tombstone state rewritten in one atomic commit —
+               mergeOneField (JVectorWriter.java:192-213) re-expressed.
+             plan_vector_merges adds the size-tiered background policy.
 * search     probe only the `nprobe` nearest cells across every live segment
-             (directory-level partition pruning), exact scoring inside probed
-             cells in any supported space (SpaceType.java:43-160) — recall is
-             governed by nprobe, precision is always 1.0; deleted vectors are
-             masked by a distributed anti-join.
+             (directory-level partition pruning), vectorized scoring over ALL
+             queries at once in any supported space (SpaceType.java:43-160);
+             deleted vectors are masked by a distributed anti-join, allowed
+             sets arrive as an id DataFrame and semi-join (never literal
+             id lists in the plan). Quantized indexes run approximate
+             traversal over qcodes then exact rerank over full precision.
 
 At 100 TB: cells are the unit of pruning and of parallelism; `nlist` scales
 with corpus size (sqrt(n) rule of thumb) while per-task memory stays O(cell
-size); appends add segments, merges bound segment count, the commit log
-makes every step idempotent/resumable.
+size); appends add segments, incremental merges bound segment count at
+metadata cost, compaction reclaims tombstones, the commit log makes every
+step idempotent/resumable, and the quantized traversal cuts scan bytes 4x.
 """
 
 from __future__ import annotations
@@ -47,17 +64,39 @@ from pyspark.sql import types as T
 from pysearch.checkpoint import IndexMeta, _write_json_atomic, read_parquet_union
 from pysearch.ops.similarity import _space_similarities, train_centroids
 
-_VEC_SCHEMA = T.StructType(
-    [
-        T.StructField("vec_id", T.LongType()),
-        T.StructField("embedding", T.ArrayType(T.FloatType())),
-        T.StructField("cell", T.IntegerType()),
-    ]
-)
+_BASE_FIELDS = [
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+    T.StructField("cell", T.IntegerType()),
+]
+_Q_FIELDS = [
+    T.StructField("qcode", T.BinaryType()),
+    T.StructField("qlo", T.DoubleType()),
+    T.StructField("qstep", T.DoubleType()),
+]
+_VEC_SCHEMA = T.StructType(_BASE_FIELDS)
+_VEC_SCHEMA_Q = T.StructType(_BASE_FIELDS + _Q_FIELDS)
 
 
-def _cells_path(meta: IndexMeta, seg: str) -> str:
+def _schema_for(quantize: bool) -> T.StructType:
+    return _VEC_SCHEMA_Q if quantize else _VEC_SCHEMA
+
+
+def _cells_own_path(meta: IndexMeta, seg: str) -> str:
     return os.path.join(meta.segment_dir(seg), "cells.parquet")
+
+
+def _cells_rel(meta: IndexMeta, seg: str) -> list[str]:
+    """Relative cell-data paths, resolving manifest ``storage`` pointers —
+    an incrementally-merged vector segment owns no files and reads its
+    inputs' directories (the same pure-metadata resolution as the text
+    index's postings/docmap/dictionary kinds)."""
+    mf_path = os.path.join(meta.manifest_dir, f"{seg}.json")
+    if os.path.exists(mf_path):
+        st = json.load(open(mf_path)).get("storage")
+        if st and "cells" in st:
+            return list(st["cells"])
+    return [os.path.relpath(_cells_own_path(meta, seg), meta.index_dir)]
 
 
 def _load_centroids(index_dir: str) -> np.ndarray:
@@ -65,9 +104,32 @@ def _load_centroids(index_dir: str) -> np.ndarray:
     return np.array(cb["centroids"], dtype=np.float64)
 
 
-def _assign_factory(bC, space: str, id_col: str, vec: str):
+def _quantize_rows(X: np.ndarray) -> tuple[list[bytes], np.ndarray, np.ndarray]:
+    """Per-vector min/max int8 scalar quantization (vectorized over the
+    batch). code = round((x - lo) / step), step = (hi - lo) / 255."""
+    lo = X.min(axis=1)
+    hi = X.max(axis=1)
+    step = (hi - lo) / 255.0
+    step = np.where(step <= 0, 1.0, step)
+    codes = np.rint((X - lo[:, None]) / step[:, None]).astype(np.uint8)
+    return [c.tobytes() for c in codes], lo, step
+
+
+def _dequantize(pdf: pd.DataFrame) -> np.ndarray:
+    """Reconstruct approximate float vectors from the qcode/qlo/qstep
+    columns — one frombuffer over the concatenated codes, no per-row loop."""
+    raw = b"".join(pdf["qcode"])
+    n = len(pdf)
+    codes = np.frombuffer(raw, dtype=np.uint8).reshape(n, -1).astype(np.float64)
+    lo = pdf["qlo"].to_numpy(np.float64)
+    step = pdf["qstep"].to_numpy(np.float64)
+    return lo[:, None] + codes * step[:, None]
+
+
+def _assign_factory(bC, space: str, id_col: str, vec: str, quantize: bool):
     """Nearest-centroid assignment in the index's space (centroids are unit
-    vectors from spherical k-means; l2 uses true distances to them)."""
+    vectors from spherical k-means; l2 uses true distances to them), plus
+    the optional int8 compression tier."""
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Cv = bC.value
@@ -76,13 +138,19 @@ def _assign_factory(bC, space: str, id_col: str, vec: str):
                 continue
             X = np.stack(pdf[vec].to_numpy()).astype(np.float64)
             S = _space_similarities(X, Cv, space)  # higher = closer
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "vec_id": pdf[id_col].to_numpy(np.int64),
                     "embedding": pdf[vec],
                     "cell": np.argmax(S, axis=1).astype(np.int32),
                 }
             )
+            if quantize:
+                codes, lo, step = _quantize_rows(X)
+                out["qcode"] = codes
+                out["qlo"] = lo
+                out["qstep"] = step
+            yield out
 
     return assign
 
@@ -90,12 +158,13 @@ def _assign_factory(bC, space: str, id_col: str, vec: str):
 def _write_vector_segment(
     spark, meta: IndexMeta, seg: str, assigned: DataFrame, source: dict, t0: float
 ) -> None:
-    path = _cells_path(meta, seg)
+    cfg = meta.load_config()
+    quantize = bool(cfg.extra.get("quantize"))
+    path = _cells_own_path(meta, seg)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
-    written = spark.read.schema(_VEC_SCHEMA).parquet(path)
+    written = spark.read.schema(_schema_for(quantize)).parquet(path)
     per_cell = written.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
     total = int(sum(r["n"] for r in per_cell))
-    cfg = meta.load_config()
     meta.write_manifest(
         seg,
         {
@@ -137,15 +206,25 @@ def build_vector_index(
     id_col: str = "vec_id",
     vec: str = "embedding",
     space: str = "cosinesimil",
+    quantize: bool = False,
 ) -> IndexMeta:
     """Train centroids, assign every vector to its nearest cell, persist the
     cell-partitioned vector segment + centroid codebook + manifest.
-    Idempotent (commit-log keyed)."""
+    ``quantize=True`` adds the int8 compression tier next to the
+    full-precision column. Idempotent (commit-log keyed)."""
     from pysearch.config import IndexConfig
 
     meta = IndexMeta(index_dir)
     meta.initialize(
-        IndexConfig(extra={"kind": "ivf", "nlist": nlist, "seed": seed, "space": space})
+        IndexConfig(
+            extra={
+                "kind": "ivf",
+                "nlist": nlist,
+                "seed": seed,
+                "space": space,
+                "quantize": bool(quantize),
+            }
+        )
     )
     if meta.has_commit("build_vectors"):
         return meta
@@ -158,7 +237,8 @@ def build_vector_index(
     )
     bC = spark.sparkContext.broadcast(C)
     assigned = emb.select(id_col, vec).mapInPandas(
-        _assign_factory(bC, space, id_col, vec), schema=_VEC_SCHEMA
+        _assign_factory(bC, space, id_col, vec, quantize),
+        schema=_schema_for(quantize),
     )
     _write_vector_segment(
         spark, meta, "vectors", assigned,
@@ -178,7 +258,8 @@ def append_vectors(
 ) -> str | None:
     """Index an appended vector batch as a NEW immutable segment using the
     EXISTING centroid codebook (compression-state reuse,
-    JVectorWriter.java:1072-1152 — no retraining). Idempotent per `key`."""
+    JVectorWriter.java:1072-1152 — no retraining; the quantization tier
+    setting is inherited from the index config). Idempotent per `key`."""
     meta = IndexMeta(index_dir)
     seg = f"vectors_a_{key}"
     commit_key = f"build_{seg}"
@@ -191,8 +272,11 @@ def append_vectors(
     cfg = meta.load_config()
     bC = spark.sparkContext.broadcast(_load_centroids(index_dir))
     assigned = emb.select(id_col, vec).mapInPandas(
-        _assign_factory(bC, cfg.extra.get("space", "cosinesimil"), id_col, vec),
-        schema=_VEC_SCHEMA,
+        _assign_factory(
+            bC, cfg.extra.get("space", "cosinesimil"), id_col, vec,
+            bool(cfg.extra.get("quantize")),
+        ),
+        schema=_schema_for(bool(cfg.extra.get("quantize"))),
     )
     _write_vector_segment(
         spark, meta, seg, assigned, {"type": "ivf_append", "key": key}, t0
@@ -207,16 +291,20 @@ def delete_vectors(
     key: str,
     vec_ids: list[int] | None = None,
     where: str | None = None,
+    vec_ids_df: DataFrame | None = None,
 ) -> int:
-    """Tombstone vectors by id or predicate over (vec_id, cell) — the same
-    parquet-delete-file mechanics as the text index (ids never inlined in
-    JSON or plans). Searches mask them immediately; a merge drops them."""
+    """Tombstone vectors by id list, id DataFrame (the fully-distributed
+    path), or predicate over (vec_id, cell) — the same parquet-delete-file
+    mechanics as the text index (ids never inlined in JSON or plans).
+    Searches mask them immediately; a compact merge drops them."""
     meta = IndexMeta(index_dir)
     if meta.has_commit(f"delete_{key}"):
         return 0
-    if vec_ids is None:
+    if vec_ids_df is not None:
+        dead = vec_ids_df.select(F.col("vec_id").cast("long").alias("doc_id")).distinct()
+    elif vec_ids is None:
         if where is None:
-            raise ValueError("need vec_ids or where")
+            raise ValueError("need vec_ids, vec_ids_df or where")
         live = _live_vector_segments(meta)
         cells = _read_cells(spark, meta, live)
         dead = cells.where(where).select(
@@ -241,39 +329,108 @@ def delete_vectors(
     return n
 
 
-def merge_vector_index(spark: SparkSession, index_dir: str) -> str:
-    """Compact every live vector segment into one: union minus tombstones,
-    re-partitioned by cell with the centroids REUSED (the mergeOneField
-    analog, JVectorWriter.java:192-213: fold segments, drop deleted docs,
-    reuse quantization state). Atomic + idempotent via the commit log; the
-    tombstone state is rewritten in the same commit."""
+# ---------------------------------------------------------------------------
+# merge: size-tiered planner + incremental (pure metadata) / compact modes —
+# the text index's merge algebra applied to the vector twin (cells are
+# vec-disjoint across segments, exactly like posting blocks are doc-disjoint)
+# ---------------------------------------------------------------------------
+
+def plan_vector_merges(meta: IndexMeta, merge_factor: int = 4) -> list[list[str]]:
+    """Size-tiered planner over the manifest table (merge.plan_merges twin):
+    segments whose live-vector counts share a log2 tier merge once
+    >= merge_factor of them pile up. Driver-side, tiny metadata."""
+    tiers: dict[int, list[str]] = {}
+    for seg in _live_vector_segments(meta):
+        m = meta.read_manifest(seg)
+        tier = -1 if m["num_docs"] == 0 else int(np.log2(max(m["num_docs"], 1)))
+        tiers.setdefault(tier, []).append(seg)
+    plans = []
+    for tier in sorted(tiers):
+        segs = sorted(tiers[tier])
+        while len(segs) >= merge_factor:
+            plans.append(segs[:merge_factor])
+            segs = segs[merge_factor:]
+    return plans
+
+
+def run_vector_merge_round(
+    spark: SparkSession, index_dir: str, merge_factor: int = 4
+) -> list[str]:
+    """One background-merge round over the tiered planner's picks."""
     meta = IndexMeta(index_dir)
-    inputs = _live_vector_segments(meta)
-    if len(inputs) == 1 and meta.tombstone_count() == 0:
+    return [
+        merge_vector_index(spark, index_dir, segs=group)
+        for group in plan_vector_merges(meta, merge_factor)
+    ]
+
+
+def merge_vector_index(
+    spark: SparkSession,
+    index_dir: str,
+    segs: list[str] | None = None,
+    compact: bool | None = None,
+    max_tombstone_density: float = 0.4,
+) -> str:
+    """Merge vector segments. Default mode is chosen by the reference's
+    density guard (JVectorWriter.java:695-699): below
+    ``max_tombstone_density`` the merge is INCREMENTAL — pure metadata, one
+    manifest pointing at every input's cell directories, zero data bytes
+    moved (the JVectorWriter.java:1166-1341 incremental-graph-merge analog;
+    valid because cells are vec-disjoint and address vectors by global id) —
+    otherwise (or with compact=True) it COMPACTS: union minus tombstones,
+    re-partitioned by cell with the centroids REUSED (mergeOneField,
+    JVectorWriter.java:192-213; compression state :1072-1152). Atomic +
+    idempotent via the commit log; compaction rewrites the tombstone state
+    in the same commit."""
+    meta = IndexMeta(index_dir)
+    inputs = sorted(segs) if segs is not None else _live_vector_segments(meta)
+    tomb_n = meta.tombstone_count()
+    if len(inputs) == 1 and tomb_n == 0:
         return inputs[0]  # already compact, nothing to fold or drop
-    digest = hashlib.sha1("|".join(sorted(inputs)).encode()).hexdigest()[:12]
-    new_seg = f"vectors_m_{digest}"
-    key = f"merge_{new_seg}"
-    if meta.has_commit(key):
-        return new_seg
-    t0 = time.time()
-    cells = _read_cells(spark, meta, inputs)
+
     dead_df = meta.tombstones_df(spark)
+    dead_here = None
+    n_dead = 0
     if dead_df is not None:
         dead_here = (
-            cells.select(F.col("vec_id").alias("doc_id"))
+            _read_cells(spark, meta, inputs)
+            .select(F.col("vec_id").alias("doc_id"))
             .join(dead_df, "doc_id", "left_semi")
             .persist()
         )
-        cells = cells.join(
-            dead_here.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+        n_dead = dead_here.count()
+    total = sum(meta.read_manifest(s)["num_docs"] for s in inputs)
+    if compact is None:
+        compact = (n_dead / total if total else 0.0) > max_tombstone_density
+
+    digest = hashlib.sha1(
+        ("|".join(inputs) + f"|compact={compact}").encode()
+    ).hexdigest()[:12]
+    new_seg = f"vectors_m_{digest}"
+    key = f"merge_{new_seg}"
+    if meta.has_commit(key):
+        if dead_here is not None:
+            dead_here.unpersist()
+        return new_seg
+    t0 = time.time()
+
+    if compact:
+        cells = _read_cells(spark, meta, inputs)
+        if dead_here is not None:
+            cells = cells.join(
+                dead_here.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+            )
+        # cell assignment is deterministic given the (reused) codebook: keep it
+        _write_vector_segment(
+            spark, meta, new_seg, cells,
+            {"type": "ivf_merge", "inputs": inputs, "mode": "compact"}, t0,
         )
-    # cell assignment is deterministic given the (reused) codebook: keep it
-    _write_vector_segment(
-        spark, meta, new_seg, cells, {"type": "ivf_merge", "inputs": inputs}, t0
-    )
-    extra = {"mode": "compact", "merge_wall_time_sec": time.time() - t0}
-    if dead_df is not None:
+    else:
+        _incremental_vector_manifest(spark, meta, inputs, new_seg, t0)
+
+    extra = {"mode": "compact" if compact else "incremental",
+             "merge_wall_time_sec": time.time() - t0}
+    if compact and dead_df is not None:
         remaining = dead_df.join(dead_here, "doc_id", "left_anti")
         r_n = remaining.count()
         rel = None
@@ -283,19 +440,128 @@ def merge_vector_index(spark: SparkSession, index_dir: str) -> str:
                 os.path.join(meta.index_dir, rel)
             )
         extra.update({"tombstones_reset": True, "reset_file": rel, "reset_count": r_n})
+    if dead_here is not None:
         dead_here.unpersist()
     meta.append_commit(key, op="replace", adds=[new_seg], removes=inputs, extra=extra)
     return new_seg
+
+
+def _incremental_vector_manifest(spark, meta, inputs, new_seg, t0):
+    """The pure-metadata vector merge: manifest storage pointers at every
+    input's cell directories — no file moved, linked or rewritten (identical
+    on object stores). Pointer lists flatten transitively through chained
+    incremental merges; retired inputs' directories stay referenced and are
+    protected from GC (admin.gc_segments reads manifest storage)."""
+    cfg = meta.load_config()
+    manifests = [meta.read_manifest(s) for s in inputs]
+    storage = {"cells": [p for s in inputs for p in _cells_rel(meta, s)]}
+    meta.write_manifest(
+        new_seg,
+        {
+            "segment_id": new_seg,
+            "num_docs": int(sum(m["num_docs"] for m in manifests)),
+            "sum_dl": 0,
+            "doc_id_min": -1,
+            "doc_id_max": -1,
+            "num_terms": int(cfg.extra.get("nlist", 0)),
+            "num_postings": int(sum(m["num_postings"] for m in manifests)),
+            "config_fingerprint": cfg.fingerprint(),
+            "source": {"type": "ivf_merge", "inputs": inputs, "mode": "incremental"},
+            "storage": storage,
+        },
+    )
+    meta.write_metrics(
+        new_seg,
+        [
+            {
+                "bucket": -1,
+                "n_postings": int(sum(m["num_postings"] for m in manifests)),
+                "payload_bytes": 0,  # zero bytes moved — the merge IS the manifest
+                "stage": "ivf_merge_incremental_total",
+                "num_docs": int(sum(m["num_docs"] for m in manifests)),
+                "wall_time_sec": time.time() - t0,
+            }
+        ],
+    )
 
 
 def _live_vector_segments(meta: IndexMeta) -> list[str]:
     return [s for s in meta.live_segments()]
 
 
-def _read_cells(spark, meta: IndexMeta, segs: list[str]) -> DataFrame:
-    return read_parquet_union(
-        spark, [_cells_path(meta, s) for s in segs], schema=_VEC_SCHEMA
-    )
+def _read_cells(
+    spark, meta: IndexMeta, segs: list[str], columns: list[str] | None = None
+) -> DataFrame:
+    cfg = meta.load_config()
+    schema = _schema_for(bool(cfg.extra.get("quantize")))
+    if columns is not None:
+        schema = T.StructType([f for f in schema.fields if f.name in columns])
+    paths = [p for s in segs for p in meta._abs(_cells_rel(meta, s))]
+    return read_parquet_union(spark, paths, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# search
+# ---------------------------------------------------------------------------
+
+def _topk_kernel_factory(bq, space: str, k_out: int, quantized: bool):
+    """Per-batch vectorized top-k over ALL queries at once: one similarity
+    matrix, one probe-membership mask indexed by cell (no per-query Python
+    loop), one argpartition along axis 1."""
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_, probe_mask = bq.value  # probe_mask: (nq, nlist) bool
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _dequantize(pdf) if quantized else np.stack(
+                pdf["embedding"].to_numpy()
+            ).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            cell = pdf["cell"].to_numpy(np.int64)
+            S = _space_similarities(Q_, X, space)
+            mask = probe_mask[:, cell] & (ids[None, :] != qids_[:, None])
+            S = np.where(mask, S, -np.inf)
+            kk = min(k_out, S.shape[1])
+            part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids_, kk),
+                    "neighbor_id": ids[part.ravel()],
+                    "sim": np.take_along_axis(S, part, axis=1).ravel(),
+                }
+            )
+            yield out[np.isfinite(out["sim"])]
+
+    return score
+
+
+def _space_sim_rowwise(Qr: np.ndarray, X: np.ndarray, space: str) -> np.ndarray:
+    """Row-aligned similarity: sim(Qr[i], X[i]) for each i (the exact-rerank
+    kernel — one einsum, no pair matrix)."""
+    if space == "cosinesimil":
+        qn = Qr / np.maximum(np.linalg.norm(Qr, axis=1, keepdims=True), 1e-300)
+        xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        return np.einsum("ij,ij->i", qn, xn)
+    if space == "innerproduct":
+        return np.einsum("ij,ij->i", Qr, X)
+    if space == "l2":
+        d = Qr - X
+        return -np.einsum("ij,ij->i", d, d)
+    if space == "l1":
+        return -np.abs(Qr - X).sum(axis=1)
+    if space == "linf":
+        return -np.abs(Qr - X).max(axis=1)
+    raise ValueError(f"unknown space {space!r}")
+
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("sim", T.DoubleType()),
+    ]
+)
 
 
 def search_vector_index(
@@ -304,25 +570,39 @@ def search_vector_index(
     queries: list[tuple[int, list[float]]],
     k: int = 10,
     nprobe: int = 4,
-    allow_ids: list[int] | None = None,
+    allow_ids: "list[int] | DataFrame | None" = None,
     space: str | None = None,
+    rerank_factor: int = 4,
 ) -> DataFrame:
     """Top-k per query vector across every live segment, scanning only the
-    probed cells (partition pruning), deleted vectors masked by an anti-join
-    — returns (query_id, neighbor_id, cosine, rank). `space` defaults to the
-    index's build-time space."""
+    probed cells (partition pruning), deleted vectors masked by an anti-join,
+    allowed ids by a semi-join (an id DataFrame or list — never literals in
+    the plan). Quantized indexes run a two-tier plan: approximate traversal
+    over the int8 column (full-precision bytes never read), then exact
+    rerank of the per-batch top-(k*rerank_factor) candidates against the
+    full-precision column. Returns (query_id, neighbor_id, cosine, rank).
+    `space` defaults to the index's build-time space."""
     meta = IndexMeta(index_dir)
     cfg = meta.load_config()
     space = space or cfg.extra.get("space", "cosinesimil")
+    quantized = bool(cfg.extra.get("quantize"))
     C = _load_centroids(index_dir)
     qids = np.array([q[0] for q in queries], dtype=np.int64)
     Q = np.array([q[1] for q in queries], dtype=np.float64)
+    nlist = C.shape[0]
     probes = np.argsort(-_space_similarities(Q, C, space), axis=1)[
-        :, : min(nprobe, C.shape[0])
+        :, : min(nprobe, nlist)
     ]
+    probe_mask = np.zeros((len(qids), nlist), dtype=bool)
+    probe_mask[np.arange(len(qids))[:, None], probes] = True
     cells = sorted({int(c) for row in probes for c in row})
 
-    data = _read_cells(spark, meta, _live_vector_segments(meta)).where(
+    live = _live_vector_segments(meta)
+    traversal_cols = (
+        ["vec_id", "cell", "qcode", "qlo", "qstep"] if quantized
+        else ["vec_id", "embedding", "cell"]
+    )
+    data = _read_cells(spark, meta, live, columns=traversal_cols).where(
         F.col("cell").isin(cells)
     )
     dead = meta.tombstones_df(spark)
@@ -331,54 +611,58 @@ def search_vector_index(
             dead.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
         )
     if allow_ids is not None:
-        data = data.where(F.col("vec_id").isin([int(i) for i in allow_ids]))
+        # accept-set as a distributed semi-join (the delete_docs(doc_ids_df=)
+        # pattern) — a 10^5-id allow set never rides the plan as literals
+        if isinstance(allow_ids, DataFrame):
+            allow_df = allow_ids.select(F.col("vec_id").cast("long"))
+        else:
+            allow_df = spark.createDataFrame(
+                [(int(i),) for i in allow_ids], "vec_id long"
+            )
+        data = data.join(allow_df, "vec_id", "left_semi")
 
-    bq = spark.sparkContext.broadcast((qids, Q, probes))
-
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
+    k_traverse = k if not quantized else max(k * rerank_factor, 50)
+    bq = spark.sparkContext.broadcast((qids, Q, probe_mask))
+    local = data.mapInPandas(
+        _topk_kernel_factory(bq, space, k_traverse, quantized), schema=_OUT_SCHEMA
     )
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_, Q_, probes_ = bq.value
-        probe_sets = [set(int(c) for c in row) for row in probes_]
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            ids = pdf["vec_id"].to_numpy(np.int64)
-            cell = pdf["cell"].to_numpy(np.int64)
-            S = _space_similarities(Q_, X, space)
-            outs = []
-            for qi in range(len(qids_)):
-                m = np.isin(cell, list(probe_sets[qi])) & (ids != qids_[qi])
-                if not m.any():
-                    continue
-                s = S[qi][m]
-                kk = min(k, s.size)
-                part = np.argpartition(-s, kk - 1)[:kk]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qids_[qi],
-                            "neighbor_id": ids[m][part],
-                            "cosine": s[part],
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+    if quantized:
+        # tier 2: exact rerank — join candidate ids back to the
+        # full-precision column (only these rows' float bytes are read) and
+        # rescore exactly; the final window then ranks on exact scores
+        cand = local.select("query_id", "neighbor_id")
+        full = _read_cells(spark, meta, live, columns=["vec_id", "embedding"])
+        joined = cand.join(
+            full.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        bqr = spark.sparkContext.broadcast((qpos, Q))
 
-    local = data.mapInPandas(score, schema=out_schema)
+        def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qpos_, Q_ = bqr.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                qi = pdf["query_id"].map(qpos_).to_numpy(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].to_numpy(np.int64),
+                        "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                        "sim": _space_sim_rowwise(Q_[qi], X, space),
+                    }
+                )
+
+        local = joined.mapInPandas(rerank, schema=_OUT_SCHEMA)
+
     w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(F.col("cosine"), 9)), F.asc("neighbor_id")
+        F.desc(F.round(F.col("sim"), 9)), F.asc("neighbor_id")
     )
     return (
         local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .select(
+            "query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rank"
+        )
     )

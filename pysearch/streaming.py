@@ -51,3 +51,33 @@ def attach_indexing_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def attach_vector_stream(
+    stream_df: DataFrame,
+    index_dir: str,
+    merge_every: int = 4,
+    checkpoint_location: str | None = None,
+    trigger_available_now: bool = False,
+):
+    """NRT vector indexing: wire a streaming DataFrame of (vec_id, embedding)
+    rows into a PRE-BUILT persisted IVF index (build_vector_index must have
+    run — appends reuse its centroid codebook, the compression-state-reuse
+    analog). Each micro-batch becomes one append segment committed under key
+    ``stream_<batch_id>`` (idempotent on replay); every `merge_every` batches
+    a size-tiered vector merge round bounds the segment count."""
+    from pysearch.ops.vector_index import append_vectors, run_vector_merge_round
+
+    spark = stream_df.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        append_vectors(spark, index_dir, batch_df, key=f"stream_{batch_id:012d}")
+        if merge_every and batch_id > 0 and batch_id % merge_every == 0:
+            run_vector_merge_round(spark, index_dir)
+
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -99,7 +99,9 @@ def test_ivf_append_delete_merge_lifecycle(spark, tmp_index):
     exact = _by_q(cosine_topk(survivors, [q[0] for q in queries], k=10).collect())
     assert full == exact  # deletes masked immediately
 
-    merged = merge_vector_index(spark, tmp_index)
+    # tombstone density (~6%) is below the guard, so force compaction (the
+    # auto path would pick the incremental pure-metadata merge)
+    merged = merge_vector_index(spark, tmp_index, compact=True)
     assert meta.live_segments() == [merged]
     assert meta.tombstone_count() == 0  # state rewritten by the merge commit
     assert meta.read_manifest(merged)["num_docs"] == survivors.count()
@@ -107,7 +109,7 @@ def test_ivf_append_delete_merge_lifecycle(spark, tmp_index):
     assert full == exact  # identical results after compaction
     # idempotent re-merge
     n = len(meta.commits())
-    merge_vector_index(spark, tmp_index)
+    merge_vector_index(spark, tmp_index, compact=True)
     assert len(meta.commits()) == n
     emb.unpersist()
 

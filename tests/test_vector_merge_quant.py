@@ -1,0 +1,230 @@
+"""Round-3 vector-index features: incremental (pure-metadata) merge +
+size-tiered planner, the int8 quantized traversal/exact-rerank tier,
+semi-join filtered search (no literal id lists in the plan), and NRT
+streaming vector ingest — the vector twins of the text index's signature
+merge algebra (merge.py) and of JVectorWriter.java:1166-1341 /
+JVectorIndexQuantization.java:45-140."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pysearch.checkpoint import IndexMeta
+from pysearch.ops.similarity import cosine_topk
+from pysearch.ops.vector_index import (
+    append_vectors,
+    build_vector_index,
+    delete_vectors,
+    merge_vector_index,
+    plan_vector_merges,
+    run_vector_merge_round,
+    search_vector_index,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _by_q(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _queries(emb, ids):
+    return [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.where(F.col("vec_id").isin(ids)).collect()
+    ]
+
+
+def test_incremental_merge_is_pure_metadata(spark, tmp_index):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    build_vector_index(spark, emb.where("vec_id < 200"), tmp_index, nlist=8, seed=42)
+    append_vectors(spark, tmp_index, emb.where("vec_id >= 200 and vec_id < 400"), key="a")
+    append_vectors(spark, tmp_index, emb.where("vec_id >= 400"), key="b")
+    meta = IndexMeta(tmp_index)
+    assert len(meta.live_segments()) == 3
+
+    merged = merge_vector_index(spark, tmp_index)  # no tombstones -> incremental
+    assert meta.live_segments() == [merged]
+    mf = meta.read_manifest(merged)
+    assert mf["source"]["mode"] == "incremental"
+    # zero bytes moved: the merged segment owns NO data directory, only
+    # storage pointers at its three inputs' cell dirs
+    assert not os.path.exists(os.path.join(meta.segment_dir(merged), "cells.parquet"))
+    assert len(mf["storage"]["cells"]) == 3
+    metrics = spark.read.parquet(os.path.join(meta.metrics_dir, f"{merged}.parquet"))
+    row = metrics.where("stage = 'ivf_merge_incremental_total'").collect()[0]
+    assert row["payload_bytes"] == 0
+    assert mf["num_docs"] == emb.count()
+
+    # search resolves through the pointers; full probe stays exact
+    qs = _queries(emb, [1, 2, 3])
+    full = _by_q(search_vector_index(spark, tmp_index, qs, k=10, nprobe=8).collect())
+    exact = _by_q(cosine_topk(emb, [1, 2, 3], k=10).collect())
+    assert full == exact
+
+    # GC protects the pointer-referenced input directories
+    from pysearch.admin import gc_segments
+
+    victims = gc_segments(tmp_index, dry_run=True)
+    assert victims == [], victims
+
+    # chained incremental merge flattens transitively to concrete dirs
+    append_vectors(spark, tmp_index, emb.where("vec_id < 50"), key="dup")
+    merged2 = merge_vector_index(spark, tmp_index, compact=False)
+    st = meta.read_manifest(merged2)["storage"]["cells"]
+    assert len(st) == 4 and all("vectors_m_" not in p for p in st)
+    emb.unpersist()
+
+
+def test_tiered_planner_and_density_guard(spark, tmp_index):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    n = emb.count()
+    build_vector_index(spark, emb.where("vec_id < 100"), tmp_index, nlist=4, seed=1)
+    for i, (lo, hi) in enumerate([(100, 200), (200, 300), (300, 400)]):
+        append_vectors(
+            spark, tmp_index, emb.where(f"vec_id >= {lo} and vec_id < {hi}"), key=f"s{i}"
+        )
+    meta = IndexMeta(tmp_index)
+    # four ~100-vector segments share a log2 tier -> one 4-way plan
+    plans = plan_vector_merges(meta, merge_factor=4)
+    assert len(plans) == 1 and len(plans[0]) == 4
+    out = run_vector_merge_round(spark, tmp_index, merge_factor=4)
+    assert meta.live_segments() == out
+    # below-density delete -> auto merge stays incremental, tombstones kept
+    n_dead = delete_vectors(spark, tmp_index, key="few", where="vec_id % 50 = 0")
+    assert 0 < n_dead < 0.4 * 400
+    append_vectors(spark, tmp_index, emb.where(f"vec_id >= 400"), key="tail")
+    m1 = merge_vector_index(spark, tmp_index)
+    c1 = [c for c in meta.commits() if c["key"] == f"merge_{m1}"][0]
+    assert c1["extra"]["mode"] == "incremental"
+    assert meta.tombstone_count() == n_dead  # incremental merges keep liveDocs
+    # heavy delete -> density guard flips the SAME call to compaction
+    n_dead2 = delete_vectors(spark, tmp_index, key="most", where="vec_id % 2 = 0")
+    m2 = merge_vector_index(spark, tmp_index)
+    c2 = [c for c in meta.commits() if c["key"] == f"merge_{m2}"][0]
+    assert c2["extra"]["mode"] == "compact"
+    assert meta.tombstone_count() == 0
+    survivors = emb.where("vec_id % 50 <> 0 and vec_id % 2 <> 0")
+    assert meta.read_manifest(m2)["num_docs"] == survivors.count()
+    qs = _queries(emb, [1, 3, 5])
+    full = _by_q(search_vector_index(spark, tmp_index, qs, k=10, nprobe=4).collect())
+    exact = _by_q(cosine_topk(survivors, [1, 3, 5], k=10).collect())
+    assert full == exact
+    emb.unpersist()
+
+
+def test_quantized_traversal_exact_rerank(spark, tmp_index):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    build_vector_index(spark, emb, tmp_index, nlist=8, seed=42, quantize=True)
+    meta = IndexMeta(tmp_index)
+    cells = spark.read.parquet(
+        os.path.join(meta.segment_dir("vectors"), "cells.parquet")
+    )
+    assert {"qcode", "qlo", "qstep"} <= set(cells.columns)
+    # int8 reconstruction error is bounded by step/2 per dimension
+    r = cells.limit(5).collect()
+    for row in r:
+        x = np.array(row["embedding"], dtype=np.float64)
+        codes = np.frombuffer(row["qcode"], dtype=np.uint8).astype(np.float64)
+        approx = row["qlo"] + codes * row["qstep"]
+        assert np.abs(approx - x).max() <= row["qstep"] / 2 + 1e-9
+
+    # full probe + rerank == exact full-precision ranks (ids AND rank order)
+    qs = _queries(emb, [1, 2, 3, 4])
+    got = search_vector_index(spark, tmp_index, qs, k=10, nprobe=8).collect()
+    exact = cosine_topk(emb, [1, 2, 3, 4], k=10).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rows)
+    assert key(got) == key(exact)
+
+    # the approximate traversal must NOT read the full-precision column
+    from pysearch.ops.vector_index import _read_cells
+
+    scan = _read_cells(
+        spark, meta, ["vectors"], columns=["vec_id", "cell", "qcode", "qlo", "qstep"]
+    ).where(F.col("cell").isin([0, 1]))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "qcode" in read_schema and "embedding" not in read_schema
+
+    # lifecycle: append inherits the quantization tier
+    emb2 = emb.withColumn("vec_id", F.col("vec_id") + 100000).where(
+        F.col("vec_id") - 100000 < 50
+    )
+    append_vectors(spark, tmp_index, emb2, key="q2")
+    qcols = spark.read.parquet(
+        os.path.join(meta.segment_dir("vectors_a_q2"), "cells.parquet")
+    ).columns
+    assert "qcode" in qcols
+    emb.unpersist()
+
+
+def test_filtered_search_semijoin_no_literals(spark, tmp_index):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    build_vector_index(spark, emb, tmp_index, nlist=8, seed=42)
+    qs = _queries(emb, [1, 2])
+    allow_df = emb.where("vec_id % 2 = 0").select("vec_id")
+    out = search_vector_index(
+        spark, tmp_index, qs, k=5, nprobe=8, allow_ids=allow_df
+    )
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "vec_id IN (" not in plan and "isin" not in plan.lower()
+    rows = out.collect()
+    assert rows and all(r["neighbor_id"] % 2 == 0 for r in rows)
+    # list form routes through the same semi-join (back-compat surface)
+    allow_list = [r["vec_id"] for r in allow_df.collect()]
+    rows2 = search_vector_index(
+        spark, tmp_index, qs, k=5, nprobe=8, allow_ids=allow_list
+    ).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rows)
+    assert key(rows) == key(rows2)
+    emb.unpersist()
+
+
+def test_streaming_vector_ingest(spark, tmp_path, tmp_index):
+    """NRT vector indexing: build a base index, stream appended vectors via
+    foreachBatch, search sees them; replay with the same checkpoint is
+    idempotent (no duplicate segments)."""
+    from pysearch.streaming import attach_vector_stream
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    build_vector_index(spark, emb.where("vec_id < 300"), tmp_index, nlist=8, seed=42)
+
+    src_dir = str(tmp_path / "vec_stream_src")
+    os.makedirs(src_dir, exist_ok=True)
+    emb.where("vec_id >= 300").write.mode("overwrite").parquet(
+        os.path.join(src_dir, "batch0")
+    )
+    schema = emb.schema
+    stream = spark.readStream.schema(schema).parquet(os.path.join(src_dir, "*"))
+    ckpt = str(tmp_path / "vec_stream_ckpt")
+    q = attach_vector_stream(
+        stream, tmp_index, merge_every=0,
+        checkpoint_location=ckpt, trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    meta = IndexMeta(tmp_index)
+    n_segs = len(meta.live_segments())
+    assert n_segs >= 2
+    qs = _queries(emb, [1, 2, 3])
+    full = _by_q(search_vector_index(spark, tmp_index, qs, k=10, nprobe=8).collect())
+    exact = _by_q(cosine_topk(emb, [1, 2, 3], k=10).collect())
+    assert full == exact  # streamed vectors searchable, exact under full probe
+
+    # replay: same checkpoint -> no new data; fresh checkpoint re-delivers the
+    # batch but the commit key makes the append a no-op
+    n_commits = len(meta.commits())
+    q2 = attach_vector_stream(
+        stream, tmp_index, merge_every=0,
+        checkpoint_location=str(tmp_path / "vec_stream_ckpt2"),
+        trigger_available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert len(meta.live_segments()) == n_segs
+    assert len(meta.commits()) == n_commits
+    emb.unpersist()
