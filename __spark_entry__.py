@@ -836,6 +836,12 @@ SELECT doc_id,
        count(*) OVER (PARTITION BY sha256(text))::BIGINT AS group_size
 FROM documents
 """
+    # NOTE on the shingle skew guard: the engine applies a finite hot-shingle
+    # cap by default (dedup.DEFAULT_MAX_SHINGLE_DF = 5000 — shingles above
+    # that df leave the shingle space). At gate scale (<= 5k docs) no shingle
+    # can exceed the cap, so these uncapped SQL oracles express the SAME
+    # semantics; tests/test_shingle_skew_guard.py verifies the capped
+    # semantics against an independent oracle where the cap does bind.
     o["dedup_jaccard_pairs"] = f"""
 WITH t AS (SELECT doc_id, list_distinct({tok}) AS ts FROM documents),
 p AS (

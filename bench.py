@@ -114,6 +114,22 @@ def main() -> None:
     queries_out["bm25_batch_100_queries"] = round(batch_sec, 3)
     batch_qps = len(batch_qs) / batch_sec
 
+    # query-TABLE batch path (distributed compile: Arrow tokenize, one
+    # dictionary join for the whole table's vocabulary): 10k-query table
+    from pyspark.sql import functions as F
+
+    texts = [q["query_text"] for q in generate_queries(100, seed=42)]
+    text_arr = F.array(*[F.lit(t) for t in texts])
+    qdf = spark.range(10_000).select(
+        F.col("id").alias("query_id"),
+        F.element_at(text_arr, (F.col("id") % 100 + 1).cast("int")).alias("text"),
+    )
+    t0 = time.time()
+    si.search_batch_table(qdf, default_k=10, chunk=10_000).count()
+    table_sec = time.time() - t0
+    queries_out["bm25_batch_table_10k"] = round(table_sec, 3)
+    table_qps = 10_000 / table_sec
+
     # ---- 3) driver-table corpus build + entry headline queries ------------
     t0 = time.time()
     idx2 = os.path.join(work, "idx_docs")
@@ -196,6 +212,7 @@ def main() -> None:
                 "sf": sf,
                 "build_docs_per_sec": round(build_docs_per_sec, 1),
                 "batch_queries_per_sec": round(batch_qps, 2),
+                "batch_table_queries_per_sec": round(table_qps, 1),
                 "built_docs": n_docs,
                 "cpus": cpus,
             }

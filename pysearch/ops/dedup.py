@@ -30,6 +30,16 @@ from pysearch.ops.text import tokens_col
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
+# Default shingle document-frequency cap (the hot-term skew guard, on by
+# default — north_rule: boilerplate skew handled explicitly). A shingle in
+# more than this many docs carries ~zero Jaccard signal (it is boilerplate)
+# but contributes df^2 rows to the inverted self-join; dropping it bounds the
+# join at web scale. The cap defines the shingle SPACE consistently: minhash
+# signatures AND exact verification read the same capped sets, so precision
+# stays 1.0 under capped-Jaccard semantics. At the correctness-gate scales
+# (<= 5k docs) no shingle can exceed the cap, so capped == uncapped there.
+DEFAULT_MAX_SHINGLE_DF = 5000
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -73,24 +83,31 @@ def shingle_sets(
     )
 
 
+def _cap_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds `max_df` (one groupBy
+    + semi-join; the df side is tiny after the threshold)."""
+    ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_s")).where(
+        F.col("df_s") <= max_df
+    )
+    return sh.join(ok.select("shingle"), "shingle", "left_semi")
+
+
 def jaccard_pairs(
     df: DataFrame,
     tau: float,
     text: str = "text",
     id_col: str = "doc_id",
     ngram: int = 1,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """EXACT Jaccard-similar pairs (a < b, jaccard >= tau) via the shingle
     inverted join: |A∩B| from the self-join on shingle, |A∪B| = |A|+|B|-|A∩B|.
-    `max_df` drops ultra-common shingles (skew guard at scale: a shingle with
-    df=d contributes d^2 join rows)."""
+    `max_df` (finite by DEFAULT — see DEFAULT_MAX_SHINGLE_DF) drops
+    ultra-common shingles from the shingle space (skew guard at scale: a
+    shingle with df=d contributes d^2 join rows); pass None to disable."""
     sh = shingle_sets(df, text, id_col, ngram)
     if max_df is not None:
-        ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_s")).where(
-            F.col("df_s") <= max_df
-        )
-        sh = sh.join(ok.select("shingle"), "shingle", "left_semi")
+        sh = _cap_shingles(sh, max_df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -124,17 +141,22 @@ def _hash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def shingle_set_lists(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id", ngram: int = 1
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(doc_id, ts: array<string>) — the distinct shingle set per doc, as one
     row per doc. The single tokenize/shingle pass that both signature
     generation and candidate verification consume (the round-1 double pass
-    recomputed shingles for verification)."""
-    return (
-        shingle_sets(df, text, id_col, ngram)
-        .groupBy("doc_id")
-        .agg(F.collect_list("shingle").alias("ts"))
-    )
+    recomputed shingles for verification). `max_df` applies the hot-shingle
+    cap to the set itself, so every downstream consumer sees the same capped
+    space."""
+    sh = shingle_sets(df, text, id_col, ngram)
+    if max_df is not None:
+        sh = _cap_shingles(sh, max_df)
+    return sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("ts"))
 
 
 def minhash_signatures_from_sets(
@@ -201,10 +223,13 @@ def minhash_lsh_pairs(
     bands: int = 16,
     seed: int = 42,
     prefilter_margin: float | None = 0.2,
+    max_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: banded signature buckets generate
     candidates, then candidates are verified with EXACT Jaccard (so precision
-    is 1.0; banding only affects recall).
+    is 1.0; banding only affects recall). The hot-shingle cap `max_df`
+    (finite by default) defines the shingle space BEFORE signatures, so
+    signatures and verification agree on capped-Jaccard semantics.
 
     ``prefilter_margin``: before the (relatively expensive) exact set
     intersection, candidates are screened by their full-signature agreement —
@@ -220,7 +245,7 @@ def minhash_lsh_pairs(
     # this spills to disk and is the natural checkpoint of the pipeline)
     from pyspark import StorageLevel
 
-    sets = shingle_set_lists(df, text, id_col, ngram).persist(
+    sets = shingle_set_lists(df, text, id_col, ngram, max_df=max_df).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     sigs = minhash_signatures_from_sets(sets, num_hashes=num_hashes, seed=seed)

@@ -552,12 +552,12 @@ class SearchIndex:
         all_terms: list[str] = []
         avgdl_map: dict[str, float] = {}
         fn = tokenize_code_text if cfg.extra.get("code_aware") else tokenize_text
-        any_phrases = False
+        filter_exprs: list[str | None] = []
         for qid, q in enumerate(queries):
             q.validate()
             compiled = self._compile_query(q, fn)
             avgdl_map.update(compiled["avgdl"])
-            any_phrases = any_phrases or bool(compiled["phrases"])
+            filter_exprs.append(q.filter_expr)
             qinfos.append(
                 {
                     "qid": qid,
@@ -575,9 +575,25 @@ class SearchIndex:
             all_terms.extend(t for t in compiled["keys"] if t not in all_terms)
 
         stats = self.global_term_stats(all_terms)
-        live_terms = [t for t in all_terms if t in stats]
-        if not live_terms:
-            return spark.createDataFrame([], out_schema)
+        return self._execute_batch(qinfos, filter_exprs, stats, avgdl_map)
+
+    def _execute_batch(
+        self,
+        qinfos: list[dict],
+        filter_exprs: list[str | None],
+        stats: dict[str, int],
+        avgdl_map: dict[str, float],
+        ordered: bool = True,
+    ) -> DataFrame:
+        """Shared batch execution: compiled per-query infos -> one postings
+        scan for the union of terms -> one cogrouped kernel pass -> one
+        global window. Used by search_batch (driver-compiled Query objects)
+        and search_batch_table (table-compiled queries)."""
+        spark = self.spark
+        cfg = self.config
+        out_schema = "query_id long, doc_id long, score double"
+        live_terms_set = set()
+        any_phrases = False
         for info in qinfos:
             # a phrase with a zero-hit term kills the whole query
             if any(t not in stats for p in info["phrases"] for t in p):
@@ -586,6 +602,11 @@ class SearchIndex:
             info["idf"] = {
                 t: self.idf(stats[t]) * info["weights"][t] for t in info["terms"]
             }
+            live_terms_set.update(info["terms"])
+            any_phrases = any_phrases or bool(info["phrases"] and info["terms"])
+        live_terms = sorted(live_terms_set)
+        if not live_terms:
+            return spark.createDataFrame([], out_schema)
 
         buckets = sorted({bucket_of(t, cfg.term_buckets) for t in live_terms})
         postings = self._postings_df.where(
@@ -601,9 +622,9 @@ class SearchIndex:
         # scans collapsed into one; predicates are codegen'd side by side)
         parts = []
         filtered = [
-            (info["qid"], q.filter_expr)
-            for info, q in zip(qinfos, queries)
-            if q.filter_expr is not None
+            (info["qid"], expr)
+            for info, expr in zip(qinfos, filter_exprs)
+            if expr is not None
         ]
         if filtered:
             matches = F.array_compact(
@@ -653,12 +674,22 @@ class SearchIndex:
         w = Window.partitionBy("query_id").orderBy(
             F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
         )
-        kmap = F.create_map(
-            *[x for info in qinfos for x in (F.lit(info["qid"]), F.lit(info["k"]))]
-        )
-        ranked = cands.withColumn("rk", F.row_number().over(w)).where(
-            F.col("rk") <= kmap[F.col("query_id")]
-        )
+        ranked = cands.withColumn("rk", F.row_number().over(w))
+        if len(qinfos) <= 64:
+            kmap = F.create_map(
+                *[x for info in qinfos for x in (F.lit(info["qid"]), F.lit(info["k"]))]
+            )
+            ranked = ranked.where(F.col("rk") <= kmap[F.col("query_id")])
+        else:
+            # thousands of queries: a 2N-literal map expression bloats the
+            # plan and codegen — broadcast-join the tiny (qid, k) table
+            k_df = spark.createDataFrame(
+                [(int(i["qid"]), int(i["k"])) for i in qinfos],
+                "query_id long, _qk long",
+            )
+            ranked = ranked.join(F.broadcast(k_df), "query_id").where(
+                F.col("rk") <= F.col("_qk")
+            )
         # min_score post-filters (already pre-pruned in-kernel)
         ms = [i for i in qinfos if i["min_score"] is not None]
         if ms:
@@ -668,9 +699,13 @@ class SearchIndex:
                     (F.col("query_id") != i["qid"]) | (F.col("score") >= i["min_score"])
                 )
             ranked = ranked.where(cond)
-        return ranked.select("query_id", "doc_id", "score").orderBy(
-            "query_id", "rk"
-        )
+        if ordered:
+            return (
+                ranked.select("query_id", "doc_id", "score", "rk")
+                .orderBy("query_id", "rk")
+                .drop("rk")
+            )
+        return ranked.select("query_id", "doc_id", "score")
 
     def search_batch_table(
         self,
@@ -680,64 +715,181 @@ class SearchIndex:
         k_col: str | None = None,
         filter_col: str | None = None,
         default_k: int = 10,
-        chunk: int = 5_000,
+        chunk: int = 10_000,
     ) -> DataFrame:
         """Batch retrieval driven by a QUERY TABLE — the offline-evaluation /
         training-data-join surface: one row per query (id, text, optional k
         and filter columns), returns (query_id, doc_id, score) for all of
-        them. Query compilation (analysis, dictionary stats, field
-        expansion) is inherently driver-side, so the table is processed in
-        `chunk`-sized slices — each slice is ONE distributed job via
-        search_batch, so cost amortizes across queries and throughput scales
-        with executors."""
+        them.
+
+        Scaling (the 10^6-10^7-query regime): query ANALYSIS is distributed —
+        tokenization + phrase parsing run in one Arrow pass over the table
+        (query texts never reach the driver; only the compact compiled form
+        — term keys, k, filter — is collected), and term statistics resolve
+        in ONE dictionary join for the whole table's distinct vocabulary
+        (bounded by vocabulary size, not query count), instead of one
+        dictionary job per chunk. Chunking remains only for kernel dispatch:
+        each `chunk` queries are ONE distributed job, and per-chunk results
+        combine through a balanced union (log-depth lineage)."""
+        import json as _json
+
         id_field = queries_df.schema[id_col]
-        cols = [F.col(id_col).alias("_qid"), F.col(text_col).alias("_text")]
-        # null k cells fall back to default_k
+        cfg = self.config
+        code_aware = bool(cfg.extra.get("code_aware"))
         k_expr = (
             F.coalesce(F.col(k_col).cast("int"), F.lit(default_k))
             if k_col
             else F.lit(default_k)
         )
-        cols.append(k_expr.alias("_k"))
-        cols.append(
-            (F.col(filter_col) if filter_col else F.lit(None).cast("string")).alias("_f")
+        norm = queries_df.select(
+            F.col(id_col).alias("_qid"),
+            F.col(text_col).alias("_text"),
+            k_expr.alias("_k"),
+            (F.col(filter_col) if filter_col else F.lit(None).cast("string")).alias(
+                "_f"
+            ),
         )
-        rows = queries_df.select(*cols).collect()
-        from pyspark.sql import types as _T
 
-        id_map_schema = _T.StructType(
+        compile_schema = T.StructType(
             [
-                _T.StructField("q_pos", _T.LongType()),
-                _T.StructField("query_id", id_field.dataType),  # caller's id type
+                T.StructField("_qid", id_field.dataType),
+                T.StructField("_terms", T.ArrayType(T.StringType())),
+                T.StructField("_phrases", T.StringType()),
+                T.StructField("_k", T.IntegerType()),
+                T.StructField("_f", T.StringType()),
             ]
         )
-        out = None
+
+        def compile_factory(code_aware_: bool):
+            def compile_part(batches):
+                from pysearch.analyze import tokenize_code_text, tokenize_text
+                from pysearch.query import parse_phrases
+
+                fn = tokenize_code_text if code_aware_ else tokenize_text
+                for pdf in batches:
+                    terms_out, phrases_out = [], []
+                    for txt in pdf["_text"]:
+                        rest, phrases = parse_phrases(txt or "", fn)
+                        seen, toks = set(), []
+                        for raw in rest.split():
+                            if raw.endswith("*") and len(raw) > 1:
+                                base = fn(raw[:-1])
+                                if not base:
+                                    continue
+                                # leading subtokens score normally; the final
+                                # one stays a marked prefix for expansion
+                                cand = base[:-1] + [base[-1] + "*"]
+                            else:
+                                cand = fn(raw)
+                            for t in cand:
+                                if t not in seen:
+                                    seen.add(t)
+                                    toks.append(t)
+                        terms_out.append(toks)
+                        phrases_out.append(_json.dumps(phrases))
+                    out = pdf[["_qid", "_k", "_f"]].copy()
+                    out["_terms"] = terms_out
+                    out["_phrases"] = phrases_out
+                    yield out[["_qid", "_terms", "_phrases", "_k", "_f"]]
+
+            return compile_part
+
+        compiled_df = norm.mapInPandas(compile_factory(code_aware), compile_schema)
+
+        # ONE distributed job resolves term stats for the whole table:
+        # distinct vocabulary (plus driver-expanded prefixes, which are rare
+        # and tiny) joined against the dictionary — cost is O(vocabulary),
+        # independent of the query count
+        vocab = compiled_df.select(F.explode("_terms").alias("term")).distinct()
+        plain = vocab.where(~F.col("term").endswith("*"))
+        prefixes = [r["term"][:-1] for r in vocab.where(F.col("term").endswith("*")).collect()]
+        prefix_expansions = {p: self.expand_prefix(p) for p in set(prefixes)}
+        if self._df_cache is not None:
+            stats = dict(self._df_cache)
+        else:
+            expanded = sorted({t for ts in prefix_expansions.values() for t in ts})
+            terms_side = plain
+            if expanded:
+                terms_side = terms_side.unionByName(
+                    self.spark.createDataFrame([(t,) for t in expanded], "term string")
+                ).distinct()
+            rows = (
+                self._dictionary_df.join(F.broadcast(terms_side), "term", "left_semi")
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            stats = {r["term"]: int(r["df"]) for r in rows}
+
+        # compact compiled rows to the driver (terms + k + filter — never the
+        # raw text), then chunked kernel dispatch
+        rows = compiled_df.collect()
+        id_map_schema = T.StructType(
+            [
+                T.StructField("q_pos", T.LongType()),
+                T.StructField("query_id", id_field.dataType),  # caller's id type
+            ]
+        )
+        avgdl = self.avgdl
+        outs: list[DataFrame] = []
         for lo in range(0, len(rows), chunk):
             part = rows[lo : lo + chunk]
-            qs = [
-                Query(text=r["_text"], k=int(r["_k"]), filter_expr=r["_f"])
-                for r in part
-            ]
-            res = self.search_batch(qs)
+            qinfos, filter_exprs = [], []
+            for i, r in enumerate(part):
+                terms: list[str] = []
+                for t in r["_terms"]:
+                    if t.endswith("*") and len(t) > 1:
+                        terms.extend(
+                            x for x in prefix_expansions.get(t[:-1], ()) if x not in terms
+                        )
+                    elif t not in terms:
+                        terms.append(t)
+                phrases = _json.loads(r["_phrases"])
+                if phrases and not cfg.store_positions:
+                    raise ValueError(
+                        "phrase queries need an index built with store_positions=True"
+                    )
+                qinfos.append(
+                    {
+                        "qid": i,
+                        "terms": terms,
+                        "weights": {t: 1.0 for t in terms},
+                        "phrases": phrases,
+                        "k": int(r["_k"]),
+                        "min_score": None,
+                        "has_filter": r["_f"] is not None,
+                        "oq": None,
+                    }
+                )
+                filter_exprs.append(r["_f"])
+            avgdl_map = {t: avgdl for info in qinfos for t in info["terms"]}
+            res = self._execute_batch(
+                qinfos, filter_exprs, stats, avgdl_map, ordered=False
+            )
             id_map = self.spark.createDataFrame(
                 [(i, r["_qid"]) for i, r in enumerate(part)], id_map_schema
             )
-            res = (
+            outs.append(
                 res.withColumnRenamed("query_id", "q_pos")
                 .join(F.broadcast(id_map), "q_pos")
                 .select("query_id", "doc_id", "score")
             )
-            out = res if out is None else out.unionByName(res)
-        if out is None:
-            empty_schema = _T.StructType(
+        if not outs:
+            empty_schema = T.StructType(
                 [
-                    _T.StructField("query_id", id_field.dataType),
-                    _T.StructField("doc_id", _T.LongType()),
-                    _T.StructField("score", _T.DoubleType()),
+                    T.StructField("query_id", id_field.dataType),
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("score", T.DoubleType()),
                 ]
             )
             return self.spark.createDataFrame([], empty_schema)
-        return out
+        # balanced union: log-depth lineage instead of a linear chain
+        while len(outs) > 1:
+            outs = [
+                outs[i].unionByName(outs[i + 1]) if i + 1 < len(outs) else outs[i]
+                for i in range(0, len(outs), 2)
+            ]
+        return outs[0]
 
     def _tombstone_deny(self) -> DataFrame | None:
         """Per-segment deny rows from the delete files. Routing uses the
@@ -845,7 +997,17 @@ def _metrics_schema():
 def _batch_search_factory(
     qinfos, k1, b, avgdl_map, overquery, seg_docs, approx_threshold, bitmap_sel
 ):
+    """Batch kernel: queries AMORTIZE decode work. Each term's posting list
+    is decoded ONCE per segment (not once per query) and its tf-norm —
+    tf / (tf + k1*(1-b+b*dl/avgdl)) — is query-independent, so it is cached
+    too; a query then scores TAAT in pure numpy: concatenate its terms'
+    (ids, idf*tfnorm) arrays and sum per doc (unique + bincount). Exact BM25,
+    rank-identical to the single-query block-max path (which stays the
+    latency-optimal choice when nothing amortizes)."""
+
     def kernel(blocks: pd.DataFrame, restrict: pd.DataFrame) -> pd.DataFrame:
+        from pysearch.codec import decode_blocks_batch
+
         empty = pd.DataFrame(
             {
                 "query_id": pd.Series(dtype="int64"),
@@ -855,18 +1017,43 @@ def _batch_search_factory(
         )
         if len(blocks) == 0:
             return empty
-        seg = blocks["segment_id"].iloc[0]
-        brute = seg_docs.get(seg, 0) < approx_threshold
         deny = None
         if len(restrict):
             d = restrict.loc[restrict["flag"] == 0, "doc_id"].to_numpy(np.int64)
             deny = np.unique(d) if d.size else None
         outs = []
+        # pre-group the segment's blocks by term ONCE; per-query views
+        # assemble from the dict — O(selected rows) per query instead of an
+        # O(all rows) isin scan per query (dominant at 10^3+ queries/chunk)
+        term_groups = {t: g for t, g in blocks.groupby("term", sort=False)}
+        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def decoded_term(t: str) -> tuple[np.ndarray, np.ndarray]:
+            hit = decoded.get(t)
+            if hit is None:
+                g = term_groups[t].sort_values("first_id", kind="mergesort")
+                ids, tfs, dls = decode_blocks_batch(
+                    g["first_id"].to_numpy(np.int64),
+                    g["last_id"].to_numpy(np.int64),
+                    g["n"].to_numpy(np.int64),
+                    list(g["ids"]),
+                    list(g["tfs"]),
+                    list(g["dls"]),
+                    g["codec"].to_numpy(np.int64),
+                )
+                tfs = tfs.astype(np.float64)
+                dls = dls.astype(np.float64)
+                avgdl = avgdl_map[t]
+                tfn = tfs / (tfs + k1 * (1 - b + b * dls / avgdl))
+                if deny is not None:
+                    keep = ~_member(ids, deny)
+                    ids, tfn = ids[keep], tfn[keep]
+                hit = decoded[t] = (ids, tfn)
+            return hit
+
         for info in qinfos:
-            if not info["terms"]:
-                continue
-            qblocks = blocks[blocks["term"].isin(info["terms"])]
-            if not len(qblocks):
+            terms = [t for t in info["terms"] if t in term_groups]
+            if not terms:
                 continue
             allow = None
             if info["has_filter"]:
@@ -880,17 +1067,29 @@ def _batch_search_factory(
             if info["phrases"]:
                 # positions-tier adjacency filter inside the batch kernel —
                 # same vectorized matcher as the single-query path
+                gs = [term_groups[t] for t in terms]
+                qblocks = gs[0] if len(gs) == 1 else pd.concat(gs)
                 pa = _phrase_allowed(qblocks, info["phrases"])
                 if pa.size == 0:
                     continue
                 allow = pa if allow is None else np.intersect1d(allow, pa)
                 if allow.size == 0:
                     continue
-            ids, scores, _, _ = _blockmax_maxscore(
-                qblocks,
-                info["idf"],
-                k1, b, avgdl_map, info["k"], info["min_score"], allow, deny, brute,
-            )
+            parts_i, parts_s = [], []
+            for t in terms:
+                ids, tfn = decoded_term(t)
+                if ids.size:
+                    parts_i.append(ids)
+                    parts_s.append(tfn * info["idf"][t])
+            if not parts_i:
+                continue
+            ids_all = np.concatenate(parts_i)
+            sc_all = np.concatenate(parts_s)
+            ids, inv = np.unique(ids_all, return_inverse=True)
+            scores = np.bincount(inv, weights=sc_all)
+            if allow is not None:
+                keep = _member(ids, allow)
+                ids, scores = ids[keep], scores[keep]
             if not ids.size:
                 continue
             if info["min_score"] is not None:
@@ -898,22 +1097,33 @@ def _batch_search_factory(
                 ids, scores = ids[keep], scores[keep]
                 order = np.lexsort((ids, -scores))
             else:
-                k_keep = first_pass_k(
-                    info["k"], info["oq"], len(info["terms"]), floor=overquery
-                )
-                order = np.lexsort((ids, -scores))[:k_keep]
+                # per-segment cut: TAAT scores are COMPLETE within the
+                # segment and docs live in exactly one segment, so keeping
+                # every doc at-or-above the k-th best ROUNDED score (+1
+                # quantum of slack for round-boundary float disagreement
+                # with the JVM) is a provable superset of the global top-k —
+                # ~k rows per query instead of the single-path 100-row
+                # rescore floor (the window input shrinks 10-30x)
+                if scores.size > info["k"]:
+                    r = np.floor(scores * 1e9 + 0.5)
+                    kth = np.partition(r, r.size - info["k"])[r.size - info["k"]]
+                    keep = r >= kth - 1.0
+                    ids, scores = ids[keep], scores[keep]
+                order = np.lexsort((ids, -scores))
+            # raw numpy triples; ONE frame is built at the end (a pandas
+            # frame per query costs more than the scoring at 10^3+ queries)
             outs.append(
-                pd.DataFrame(
-                    {
-                        "query_id": np.int64(info["qid"]),
-                        "doc_id": ids[order],
-                        "score": scores[order],
-                    }
-                )
+                (np.full(order.size, info["qid"], np.int64), ids[order], scores[order])
             )
         if not outs:
             return empty
-        return pd.concat(outs, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate([o[0] for o in outs]),
+                "doc_id": np.concatenate([o[1] for o in outs]),
+                "score": np.concatenate([o[2] for o in outs]),
+            }
+        )
 
     return kernel
 
