@@ -575,6 +575,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_quantized_rerank"] = ivf_quantized
 
+    # ---- query-TABLE vector search: distributed probe assignment + cell
+    # co-partitioned join — the 10^6-query offline path (query embeddings
+    # never ride the driver); full probe -> exact, so the oracle applies ----
+    def ivf_table(s, d):
+        from pysearch.ops.vector_index import (
+            build_vector_index,
+            search_vector_index_table,
+        )
+
+        idx = _index_dir(d, "ivf3")
+        emb = _emb(s, d)
+        build_vector_index(s, emb, idx, nlist=8, seed=42)
+        qdf = emb.where("vec_id < 6").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = search_vector_index_table(s, idx, qdf, k=10, nprobe=8)
+        return out.select("query_id", "neighbor_id", "rank")
+
+    q["ann_ivf_table_search"] = ivf_table
+
     # ---- additional similarity spaces (SpaceType.java:43-160) -------------
     q["ann_l2_topk"] = lambda s, d: similarity.similarity_topk(
         _emb(s, d), ANN_QUERY_IDS, k=10, space="l2"
@@ -958,6 +978,18 @@ SELECT query_id, neighbor_id, rank FROM (
          ) AS rank
   FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
   WHERE q.vec_id < 4
+) WHERE rank <= 10
+"""
+    o["ann_ivf_table_search"] = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding, x.embedding), 9) DESC,
+                    x.vec_id ASC
+         ) AS rank
+  FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
+  WHERE q.vec_id < 6
 ) WHERE rank <= 10
 """
     # incremental (pure-metadata) merge: nothing deleted, so the merged state

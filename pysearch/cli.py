@@ -102,6 +102,39 @@ def main(argv: list[str] | None = None) -> int:
     pserve.add_argument("--port", type=int, default=8080)
     pserve.add_argument("--cpus", default=None)
 
+    pvb = sub.add_parser("vector-build")
+    pvb.add_argument("--embeddings", required=True,
+                     help="parquet of (vec_id, embedding) rows")
+    pvb.add_argument("--index", required=True)
+    pvb.add_argument("--nlist", type=int, default=16)
+    pvb.add_argument("--space", default="cosinesimil")
+    pvb.add_argument("--quantize", action="store_true",
+                     help="add the int8 traversal tier (exact rerank at query)")
+    pvb.add_argument("--cpus", default=None)
+
+    pvs = sub.add_parser("vector-search")
+    pvs.add_argument("--index", required=True)
+    pvs.add_argument("--queries", required=True,
+                     help="parquet of (vec_id, embedding) query rows "
+                          "(distributed table search)")
+    pvs.add_argument("--k", type=int, default=10)
+    pvs.add_argument("--nprobe", type=int, default=4)
+    pvs.add_argument("--cpus", default=None)
+
+    pvm = sub.add_parser("vector-merge")
+    pvm.add_argument("--index", required=True)
+    pvm.add_argument("--compact", action="store_true",
+                     help="rewrite data (drop tombstones) instead of the "
+                          "density-guarded default")
+    pvm.add_argument("--cpus", default=None)
+
+    pvd = sub.add_parser("vector-delete")
+    pvd.add_argument("--index", required=True)
+    pvd.add_argument("--key", required=True, help="idempotency key")
+    pvd.add_argument("--where", default=None)
+    pvd.add_argument("--ids", default=None, help="comma-separated vec ids")
+    pvd.add_argument("--cpus", default=None)
+
     args = p.parse_args(argv)
     spark = _spark(args.cpus)
 
@@ -190,6 +223,45 @@ def main(argv: list[str] | None = None) -> int:
         from pysearch.server import run_blocking
 
         run_blocking(SearchIndex(spark, args.index), args.port)
+    elif args.cmd == "vector-build":
+        from pysearch.ops.vector_index import build_vector_index
+
+        t0 = time.time()
+        emb = spark.read.parquet(args.embeddings)
+        meta = build_vector_index(
+            spark, emb, args.index, nlist=args.nlist, space=args.space,
+            quantize=args.quantize,
+        )
+        docs = sum(m["num_docs"] for m in meta.live_manifests().values())
+        print(json.dumps({"indexed_vectors": docs, "sec": time.time() - t0}))
+    elif args.cmd == "vector-search":
+        from pysearch.ops.vector_index import search_vector_index_table
+
+        qdf = spark.read.parquet(args.queries)
+        out = search_vector_index_table(
+            spark, args.index, qdf, k=args.k, nprobe=args.nprobe,
+            id_col="vec_id",
+        )
+        for r in out.collect():
+            print(json.dumps(
+                {"query_id": r["query_id"], "neighbor_id": r["neighbor_id"],
+                 "cosine": r["cosine"], "rank": r["rank"]}
+            ))
+    elif args.cmd == "vector-merge":
+        from pysearch.ops.vector_index import merge_vector_index
+
+        out = merge_vector_index(
+            spark, args.index, compact=True if args.compact else None
+        )
+        print(json.dumps({"merged": out}))
+    elif args.cmd == "vector-delete":
+        from pysearch.ops.vector_index import delete_vectors
+
+        ids = [int(x) for x in args.ids.split(",")] if args.ids else None
+        n = delete_vectors(
+            spark, args.index, key=args.key, vec_ids=ids, where=args.where
+        )
+        print(json.dumps({"tombstoned": n}))
     return 0
 
 

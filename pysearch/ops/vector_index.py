@@ -666,3 +666,113 @@ def search_vector_index(
             "query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rank"
         )
     )
+
+
+def search_vector_index_table(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "query_id",
+    vec: str = "embedding",
+    space: str | None = None,
+) -> DataFrame:
+    """Query-TABLE vector search — the offline-evaluation / training-data
+    regime (10^6+ query vectors), fully distributed: query embeddings never
+    ride the driver. Probe assignment runs in one Arrow pass (each query
+    emits its `nprobe` nearest cells), the (query, cell) fan-out JOINS the
+    cell-partitioned index on `cell` (both sides hash-partition on the same
+    key — the co-located join), exact per-pair scoring is one rowwise einsum,
+    and the per-batch pre-cut keeps the global top-k window input at
+    O(queries * partitions * k). Deleted vectors are anti-joined out.
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    meta = IndexMeta(index_dir)
+    cfg = meta.load_config()
+    space = space or cfg.extra.get("space", "cosinesimil")
+    C = _load_centroids(index_dir)
+    bC = spark.sparkContext.broadcast(C)
+    nprobe = min(nprobe, C.shape[0])
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("q_emb", T.ArrayType(T.DoubleType())),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def assign_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cv = bC.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+            probes = np.argsort(-_space_similarities(Q, Cv, space), axis=1)[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf[id_col].to_numpy(np.int64), nprobe),
+                    "q_emb": [
+                        Q[i] for i in np.repeat(np.arange(n), nprobe)
+                    ],
+                    "cell": probes.ravel().astype(np.int32),
+                }
+            )
+
+    probes_df = queries_df.select(id_col, vec).mapInPandas(
+        assign_probes, schema=probe_schema
+    )
+
+    live = _live_vector_segments(meta)
+    data = _read_cells(spark, meta, live, columns=["vec_id", "embedding", "cell"])
+    dead = meta.tombstones_df(spark)
+    if dead is not None:
+        data = data.join(
+            dead.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+        )
+    joined = probes_df.join(data, "cell")
+
+    def score_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Qr = np.stack(pdf["q_emb"].to_numpy())
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qids = pdf["query_id"].to_numpy(np.int64)
+            nids = pdf["vec_id"].to_numpy(np.int64)
+            sim = _space_sim_rowwise(Qr, X, space)
+            keep = nids != qids
+            qids, nids, sim = qids[keep], nids[keep], sim[keep]
+            if not qids.size:
+                continue
+            # per-batch pre-cut: keep each query's local top-k (+ rounded-
+            # score ties) — a lossless superset of its global top-k
+            order = np.lexsort((nids, -np.round(sim, 9), qids))
+            qids, nids, sim = qids[order], nids[order], sim[order]
+            starts = np.flatnonzero(np.concatenate(([True], qids[1:] != qids[:-1])))
+            counts = np.diff(np.concatenate((starts, [qids.size])))
+            pos = np.arange(qids.size) - np.repeat(starts, counts)
+            # +8 slack: the batch cut orders by np.round (half-even) while
+            # the global window rounds half-up on the JVM — boundary
+            # disagreements stay inside the superset
+            keep = pos < k + 8
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[keep],
+                    "neighbor_id": nids[keep],
+                    "sim": sim[keep],
+                }
+            )
+
+    local = joined.mapInPandas(score_pairs, schema=_OUT_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("sim"), 9)), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rank"
+        )
+    )

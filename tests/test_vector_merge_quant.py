@@ -186,6 +186,70 @@ def test_filtered_search_semijoin_no_literals(spark, tmp_index):
     emb.unpersist()
 
 
+def test_table_search_distributed_parity(spark, tmp_index):
+    """Query-TABLE vector search: distributed probe assignment + cell join,
+    results identical to the driver-list path and to exact brute force under
+    full probe; deletes masked; partial probe equals the list path exactly
+    (same centroids, same probes)."""
+    from pysearch.ops.vector_index import search_vector_index_table
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    build_vector_index(spark, emb, tmp_index, nlist=8, seed=42)
+    delete_vectors(spark, tmp_index, key="mod23", where="vec_id % 23 = 0")
+    qids = [1, 2, 3, 4, 5]
+    qdf = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in rows
+    )
+    for nprobe in (8, 3):
+        table = search_vector_index_table(
+            spark, tmp_index, qdf, k=10, nprobe=nprobe
+        ).collect()
+        lst = search_vector_index(
+            spark, tmp_index, _queries(emb, qids), k=10, nprobe=nprobe
+        ).collect()
+        assert key(table) == key(lst), nprobe
+    exact = cosine_topk(emb.where("vec_id % 23 <> 0"), qids, k=10).collect()
+    full = search_vector_index_table(spark, tmp_index, qdf, k=10, nprobe=8).collect()
+    assert key(full) == key(exact)
+    emb.unpersist()
+
+
+def test_cli_vector_lifecycle(spark, tmp_path, tmp_index):
+    """CLI surface: vector-build -> vector-delete -> vector-merge ->
+    vector-search (query table), end to end through main()."""
+    import json as _json
+
+    from pysearch.cli import main as cli_main
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb_path = str(tmp_path / "emb.parquet")
+    emb.write.mode("overwrite").parquet(emb_path)
+    q_path = str(tmp_path / "queries.parquet")
+    emb.where("vec_id in (1, 2)").write.mode("overwrite").parquet(q_path)
+
+    cli_main(["vector-build", "--embeddings", emb_path, "--index", tmp_index,
+              "--nlist", "8", "--quantize"])
+    cli_main(["vector-delete", "--index", tmp_index, "--key", "m9",
+              "--where", "vec_id % 9 = 0"])
+    cli_main(["vector-merge", "--index", tmp_index])
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli_main(["vector-search", "--index", tmp_index, "--queries", q_path,
+                  "--k", "5", "--nprobe", "8"])
+    rows = [_json.loads(l) for l in buf.getvalue().strip().splitlines()]
+    assert len(rows) == 10  # 2 queries x k=5
+    exact = cosine_topk(emb.where("vec_id % 9 <> 0"), [1, 2], k=5).collect()
+    got = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rows)
+    want = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in exact)
+    assert got == want
+
+
 def test_streaming_vector_ingest(spark, tmp_path, tmp_index):
     """NRT vector indexing: build a base index, stream appended vectors via
     foreachBatch, search sees them; replay with the same checkpoint is
