@@ -490,7 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ivf_persisted(s, d):
         from pysearch.ops.vector_index import build_vector_index, search_vector_index
 
-        idx = _index_dir(d, "ivf3")
+        idx = _index_dir(d, "ivf4")
         emb = _emb(s, d)
         build_vector_index(s, emb, idx, nlist=8, seed=42)
         qrows = emb.where("vec_id < 4").collect()
@@ -513,7 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             search_vector_index,
         )
 
-        idx = _index_dir(d, "ivf_lc3")
+        idx = _index_dir(d, "ivf_lc4")
         emb = _emb(s, d)
         build_vector_index(s, emb.where("vec_id < 300"), idx, nlist=8, seed=42)
         append_vectors(s, idx, emb.where("vec_id >= 300"), key="rest")
@@ -539,7 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             search_vector_index,
         )
 
-        idx = _index_dir(d, "ivf_inc3")
+        idx = _index_dir(d, "ivf_inc4")
         emb = _emb(s, d)
         build_vector_index(s, emb.where("vec_id < 300"), idx, nlist=8, seed=42)
         append_vectors(s, idx, emb.where("vec_id >= 300"), key="rest")
@@ -565,7 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ivf_quantized(s, d):
         from pysearch.ops.vector_index import build_vector_index, search_vector_index
 
-        idx = _index_dir(d, "ivf_q3")
+        idx = _index_dir(d, "ivf_q4")
         emb = _emb(s, d)
         build_vector_index(s, emb, idx, nlist=8, seed=42, quantize=True)
         qrows = emb.where("vec_id < 4").collect()
@@ -584,7 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             search_vector_index_table,
         )
 
-        idx = _index_dir(d, "ivf3")
+        idx = _index_dir(d, "ivf4")
         emb = _emb(s, d)
         build_vector_index(s, emb, idx, nlist=8, seed=42)
         qdf = emb.where("vec_id < 6").select(

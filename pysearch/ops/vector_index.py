@@ -86,17 +86,25 @@ def _cells_own_path(meta: IndexMeta, seg: str) -> str:
     return os.path.join(meta.segment_dir(seg), "cells.parquet")
 
 
-def _cells_rel(meta: IndexMeta, seg: str) -> list[str]:
-    """Relative cell-data paths, resolving manifest ``storage`` pointers —
-    an incrementally-merged vector segment owns no files and reads its
-    inputs' directories (the same pure-metadata resolution as the text
-    index's postings/docmap/dictionary kinds)."""
+def _cells_rel_split(meta: IndexMeta, seg: str) -> tuple[list[str], list[str]]:
+    """Relative cell-data paths as (full_precision, quantized) lists,
+    resolving manifest ``storage`` pointers — an incrementally-merged vector
+    segment owns no files and reads its inputs' directories (the same
+    pure-metadata resolution as the text index's postings/docmap/dictionary
+    kinds). Quantized-ness is tracked per PATH because the trigger policy
+    (quantize-if-large) can leave an index with mixed segments."""
     mf_path = os.path.join(meta.manifest_dir, f"{seg}.json")
-    if os.path.exists(mf_path):
-        st = json.load(open(mf_path)).get("storage")
-        if st and "cells" in st:
-            return list(st["cells"])
-    return [os.path.relpath(_cells_own_path(meta, seg), meta.index_dir)]
+    mf = json.load(open(mf_path)) if os.path.exists(mf_path) else {}
+    st = mf.get("storage")
+    if st and ("cells" in st or "cells_q" in st):
+        return list(st.get("cells", [])), list(st.get("cells_q", []))
+    own = [os.path.relpath(_cells_own_path(meta, seg), meta.index_dir)]
+    return ([], own) if mf.get("quantized") else (own, [])
+
+
+def _cells_rel(meta: IndexMeta, seg: str) -> list[str]:
+    plain, quant = _cells_rel_split(meta, seg)
+    return plain + quant
 
 
 def _load_centroids(index_dir: str) -> np.ndarray:
@@ -156,13 +164,18 @@ def _assign_factory(bC, space: str, id_col: str, vec: str, quantize: bool):
 
 
 def _write_vector_segment(
-    spark, meta: IndexMeta, seg: str, assigned: DataFrame, source: dict, t0: float
+    spark,
+    meta: IndexMeta,
+    seg: str,
+    assigned: DataFrame,
+    source: dict,
+    t0: float,
+    quantized: bool,
 ) -> None:
     cfg = meta.load_config()
-    quantize = bool(cfg.extra.get("quantize"))
     path = _cells_own_path(meta, seg)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
-    written = spark.read.schema(_schema_for(quantize)).parquet(path)
+    written = spark.read.schema(_schema_for(quantized)).parquet(path)
     per_cell = written.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
     total = int(sum(r["n"] for r in per_cell))
     meta.write_manifest(
@@ -177,6 +190,7 @@ def _write_vector_segment(
             "num_postings": total,
             "config_fingerprint": cfg.fingerprint(),
             "source": source,
+            "quantized": bool(quantized),
         },
     )
     meta.write_metrics(
@@ -197,6 +211,17 @@ def _write_vector_segment(
     )
 
 
+def _quantize_segment(cfg, n_rows_fn) -> bool:
+    """The quantize-if-large trigger policy (JVectorWriter.java:263-283,
+    MINIMUM_BATCH_SIZE_FOR_QUANTIZATION analog): the tier applies only when
+    the segment is big enough to be worth compressing. `n_rows_fn` is lazy —
+    no count job when the threshold is 0 (always) or the tier is off."""
+    if not cfg.extra.get("quantize"):
+        return False
+    min_rows = int(cfg.extra.get("min_quant_rows", 0))
+    return True if min_rows <= 0 else n_rows_fn() >= min_rows
+
+
 def build_vector_index(
     spark: SparkSession,
     emb: DataFrame,
@@ -207,11 +232,14 @@ def build_vector_index(
     vec: str = "embedding",
     space: str = "cosinesimil",
     quantize: bool = False,
+    min_quant_rows: int = 0,
 ) -> IndexMeta:
     """Train centroids, assign every vector to its nearest cell, persist the
     cell-partitioned vector segment + centroid codebook + manifest.
     ``quantize=True`` adds the int8 compression tier next to the
-    full-precision column. Idempotent (commit-log keyed)."""
+    full-precision column — per segment, only when the segment has at least
+    ``min_quant_rows`` vectors (the reference's quantize-if-large trigger;
+    search handles mixed indexes). Idempotent (commit-log keyed)."""
     from pysearch.config import IndexConfig
 
     meta = IndexMeta(index_dir)
@@ -223,12 +251,15 @@ def build_vector_index(
                 "seed": seed,
                 "space": space,
                 "quantize": bool(quantize),
+                "min_quant_rows": int(min_quant_rows),
             }
         )
     )
     if meta.has_commit("build_vectors"):
         return meta
     t0 = time.time()
+    cfg = meta.load_config()
+    q_seg = _quantize_segment(cfg, emb.count)
 
     C = train_centroids(emb, nlist=nlist, seed=seed, id_col=id_col, vec=vec)
     _write_json_atomic(
@@ -237,12 +268,13 @@ def build_vector_index(
     )
     bC = spark.sparkContext.broadcast(C)
     assigned = emb.select(id_col, vec).mapInPandas(
-        _assign_factory(bC, space, id_col, vec, quantize),
-        schema=_schema_for(quantize),
+        _assign_factory(bC, space, id_col, vec, q_seg),
+        schema=_schema_for(q_seg),
     )
     _write_vector_segment(
         spark, meta, "vectors", assigned,
-        {"type": "ivf_build", "nlist": nlist, "seed": seed, "space": space}, t0,
+        {"type": "ivf_build", "nlist": nlist, "seed": seed, "space": space},
+        t0, quantized=q_seg,
     )
     meta.append_commit("build_vectors", op="add", adds=["vectors"])
     return meta
@@ -258,8 +290,10 @@ def append_vectors(
 ) -> str | None:
     """Index an appended vector batch as a NEW immutable segment using the
     EXISTING centroid codebook (compression-state reuse,
-    JVectorWriter.java:1072-1152 — no retraining; the quantization tier
-    setting is inherited from the index config). Idempotent per `key`."""
+    JVectorWriter.java:1072-1152 — no retraining; the quantization tier +
+    its size trigger are inherited from the index config, so a small NRT
+    batch stays full-precision and a bulk append compresses). Idempotent
+    per `key`."""
     meta = IndexMeta(index_dir)
     seg = f"vectors_a_{key}"
     commit_key = f"build_{seg}"
@@ -270,16 +304,17 @@ def append_vectors(
         return None
     t0 = time.time()
     cfg = meta.load_config()
+    q_seg = _quantize_segment(cfg, emb.count)
     bC = spark.sparkContext.broadcast(_load_centroids(index_dir))
     assigned = emb.select(id_col, vec).mapInPandas(
         _assign_factory(
-            bC, cfg.extra.get("space", "cosinesimil"), id_col, vec,
-            bool(cfg.extra.get("quantize")),
+            bC, cfg.extra.get("space", "cosinesimil"), id_col, vec, q_seg
         ),
-        schema=_schema_for(bool(cfg.extra.get("quantize"))),
+        schema=_schema_for(q_seg),
     )
     _write_vector_segment(
-        spark, meta, seg, assigned, {"type": "ivf_append", "key": key}, t0
+        spark, meta, seg, assigned, {"type": "ivf_append", "key": key}, t0,
+        quantized=q_seg,
     )
     meta.append_commit(commit_key, op="add", adds=[seg])
     return seg
@@ -415,15 +450,36 @@ def merge_vector_index(
     t0 = time.time()
 
     if compact:
+        cfg = meta.load_config()
         cells = _read_cells(spark, meta, inputs)
         if dead_here is not None:
             cells = cells.join(
                 dead_here.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
             )
-        # cell assignment is deterministic given the (reused) codebook: keep it
+        # cell assignment is deterministic given the (reused) codebook: keep
+        # it; the quantize-if-large policy re-evaluates on the MERGED size
+        # (small full-precision appends compress once folded into a big
+        # segment — per-vector min/max codes are deterministic, so this is
+        # state reuse, not retraining)
+        q_out = _quantize_segment(cfg, lambda: total - n_dead)
+        if q_out:
+            def requant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                    codes, lo, step = _quantize_rows(X)
+                    out = pdf[["vec_id", "embedding", "cell"]].copy()
+                    out["qcode"] = codes
+                    out["qlo"] = lo
+                    out["qstep"] = step
+                    yield out
+
+            cells = cells.mapInPandas(requant, schema=_VEC_SCHEMA_Q)
         _write_vector_segment(
             spark, meta, new_seg, cells,
             {"type": "ivf_merge", "inputs": inputs, "mode": "compact"}, t0,
+            quantized=q_out,
         )
     else:
         _incremental_vector_manifest(spark, meta, inputs, new_seg, t0)
@@ -454,7 +510,13 @@ def _incremental_vector_manifest(spark, meta, inputs, new_seg, t0):
     protected from GC (admin.gc_segments reads manifest storage)."""
     cfg = meta.load_config()
     manifests = [meta.read_manifest(s) for s in inputs]
-    storage = {"cells": [p for s in inputs for p in _cells_rel(meta, s)]}
+    plain, quant = [], []
+    for s in inputs:
+        p, q = _cells_rel_split(meta, s)
+        plain += p
+        quant += q
+    # per-path tier tracking survives the pointer merge (mixed indexes)
+    storage = {"cells": plain, "cells_q": quant}
     meta.write_manifest(
         new_seg,
         {
@@ -489,15 +551,32 @@ def _live_vector_segments(meta: IndexMeta) -> list[str]:
     return [s for s in meta.live_segments()]
 
 
+def _cells_paths_split(meta: IndexMeta, segs: list[str]) -> tuple[list[str], list[str]]:
+    plain, quant = [], []
+    for s in segs:
+        p, q = _cells_rel_split(meta, s)
+        plain += p
+        quant += q
+    return meta._abs(plain), meta._abs(quant)
+
+
+def _read_paths(spark, paths: list[str], columns: list[str]) -> DataFrame:
+    schema = T.StructType(
+        [f for f in _VEC_SCHEMA_Q.fields if f.name in columns]
+    )
+    return read_parquet_union(spark, paths, schema=schema)
+
+
 def _read_cells(
     spark, meta: IndexMeta, segs: list[str], columns: list[str] | None = None
 ) -> DataFrame:
-    cfg = meta.load_config()
-    schema = _schema_for(bool(cfg.extra.get("quantize")))
-    if columns is not None:
-        schema = T.StructType([f for f in schema.fields if f.name in columns])
-    paths = [p for s in segs for p in meta._abs(_cells_rel(meta, s))]
-    return read_parquet_union(spark, paths, schema=schema)
+    """Full-precision view over every segment (quantized files also carry
+    the float column, so the base schema reads uniformly across a mixed
+    index)."""
+    plain, quant = _cells_paths_split(meta, segs)
+    return _read_paths(
+        spark, plain + quant, columns or ["vec_id", "embedding", "cell"]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -585,7 +664,6 @@ def search_vector_index(
     meta = IndexMeta(index_dir)
     cfg = meta.load_config()
     space = space or cfg.extra.get("space", "cosinesimil")
-    quantized = bool(cfg.extra.get("quantize"))
     C = _load_centroids(index_dir)
     qids = np.array([q[0] for q in queries], dtype=np.int64)
     Q = np.array([q[1] for q in queries], dtype=np.float64)
@@ -598,18 +676,9 @@ def search_vector_index(
     cells = sorted({int(c) for row in probes for c in row})
 
     live = _live_vector_segments(meta)
-    traversal_cols = (
-        ["vec_id", "cell", "qcode", "qlo", "qstep"] if quantized
-        else ["vec_id", "embedding", "cell"]
-    )
-    data = _read_cells(spark, meta, live, columns=traversal_cols).where(
-        F.col("cell").isin(cells)
-    )
+    plain_paths, quant_paths = _cells_paths_split(meta, live)
     dead = meta.tombstones_df(spark)
-    if dead is not None:
-        data = data.join(
-            dead.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
-        )
+    allow_df = None
     if allow_ids is not None:
         # accept-set as a distributed semi-join (the delete_docs(doc_ids_df=)
         # pattern) — a 10^5-id allow set never rides the plan as literals
@@ -619,20 +688,42 @@ def search_vector_index(
             allow_df = spark.createDataFrame(
                 [(int(i),) for i in allow_ids], "vec_id long"
             )
-        data = data.join(allow_df, "vec_id", "left_semi")
 
-    k_traverse = k if not quantized else max(k * rerank_factor, 50)
+    def restricted(data: DataFrame) -> DataFrame:
+        data = data.where(F.col("cell").isin(cells))
+        if dead is not None:
+            data = data.join(
+                dead.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+            )
+        if allow_df is not None:
+            data = data.join(allow_df, "vec_id", "left_semi")
+        return data
+
     bq = spark.sparkContext.broadcast((qids, Q, probe_mask))
-    local = data.mapInPandas(
-        _topk_kernel_factory(bq, space, k_traverse, quantized), schema=_OUT_SCHEMA
-    )
-
-    if quantized:
-        # tier 2: exact rerank — join candidate ids back to the
-        # full-precision column (only these rows' float bytes are read) and
-        # rescore exactly; the final window then ranks on exact scores
-        cand = local.select("query_id", "neighbor_id")
-        full = _read_cells(spark, meta, live, columns=["vec_id", "embedding"])
+    locals_: list[DataFrame] = []
+    if plain_paths:
+        # full-precision segments: exact scoring in one pass
+        data_f = restricted(_read_paths(spark, plain_paths, ["vec_id", "embedding", "cell"]))
+        locals_.append(
+            data_f.mapInPandas(
+                _topk_kernel_factory(bq, space, k, quantized=False),
+                schema=_OUT_SCHEMA,
+            )
+        )
+    if quant_paths:
+        # quantized segments: approximate traversal over the int8 column
+        # (full-precision bytes never read), then exact rerank of the
+        # per-batch top-(k*rerank_factor) candidates against the float
+        # column — the final window ranks everything on exact scores
+        k_traverse = max(k * rerank_factor, 50)
+        data_q = restricted(
+            _read_paths(spark, quant_paths, ["vec_id", "cell", "qcode", "qlo", "qstep"])
+        )
+        cand = data_q.mapInPandas(
+            _topk_kernel_factory(bq, space, k_traverse, quantized=True),
+            schema=_OUT_SCHEMA,
+        ).select("query_id", "neighbor_id")
+        full = _read_paths(spark, quant_paths, ["vec_id", "embedding"])
         joined = cand.join(
             full.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
         )
@@ -654,7 +745,11 @@ def search_vector_index(
                     }
                 )
 
-        local = joined.mapInPandas(rerank, schema=_OUT_SCHEMA)
+        locals_.append(joined.mapInPandas(rerank, schema=_OUT_SCHEMA))
+
+    local = locals_[0]
+    for d in locals_[1:]:
+        local = local.unionByName(d)
 
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round(F.col("sim"), 9)), F.asc("neighbor_id")

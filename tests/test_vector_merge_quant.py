@@ -186,6 +186,48 @@ def test_filtered_search_semijoin_no_literals(spark, tmp_index):
     emb.unpersist()
 
 
+def test_quantize_trigger_policy_mixed_index(spark, tmp_index):
+    """quantize-if-large (MINIMUM_BATCH_SIZE_FOR_QUANTIZATION analog,
+    JVectorWriter.java:263-283): with min_quant_rows set, a big build
+    segment compresses, a small NRT append stays full precision, search is
+    exact over the MIXED index, and a compact merge re-evaluates the policy
+    on the merged size (small append gets folded in and compressed)."""
+    from pysearch.ops.vector_index import merge_vector_index as mvi
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    n = emb.count()
+    big = emb.where("vec_id < 400")
+    small = emb.where("vec_id >= 400 and vec_id < 430")
+    build_vector_index(
+        spark, big, tmp_index, nlist=8, seed=42, quantize=True, min_quant_rows=250
+    )
+    meta = IndexMeta(tmp_index)
+    assert meta.read_manifest("vectors")["quantized"] is True
+    seg = append_vectors(spark, tmp_index, small, key="nrt")
+    assert meta.read_manifest(seg)["quantized"] is False
+    cols_small = spark.read.parquet(
+        os.path.join(meta.segment_dir(seg), "cells.parquet")
+    ).columns
+    assert "qcode" not in cols_small  # small segment written full-precision
+
+    live_emb = emb.where("vec_id < 430")
+    qs = _queries(emb, [1, 2, 401])
+    got = search_vector_index(spark, tmp_index, qs, k=10, nprobe=8).collect()
+    exact = cosine_topk(live_emb, [1, 2, 401], k=10).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rows)
+    assert key(got) == key(exact)  # exact over the mixed index
+
+    merged = mvi(spark, tmp_index, compact=True)
+    assert meta.read_manifest(merged)["quantized"] is True  # 430 >= 250
+    cols_m = spark.read.parquet(
+        os.path.join(meta.segment_dir(merged), "cells.parquet")
+    ).columns
+    assert "qcode" in cols_m
+    got2 = search_vector_index(spark, tmp_index, qs, k=10, nprobe=8).collect()
+    assert key(got2) == key(exact)
+    emb.unpersist()
+
+
 def test_table_search_distributed_parity(spark, tmp_index):
     """Query-TABLE vector search: distributed probe assignment + cell join,
     results identical to the driver-list path and to exact brute force under
