@@ -200,6 +200,23 @@ def main() -> None:
     similarity.cosine_topk(emb, list(range(10)), k=10).count()
     queries_out["ann_cosine_topk"] = round(time.time() - t0, 3)
 
+    # persisted IVF index: build + 1k-query TABLE search (distributed probe
+    # fan-out joined on the cell partition key)
+    from pysearch.ops.vector_index import build_vector_index, search_vector_index_table
+
+    vidx = os.path.join(work_v := tempfile.mkdtemp(prefix="pysearch_vbench_"), "vidx")
+    t0 = time.time()
+    build_vector_index(spark, emb, vidx, nlist=16, seed=42, quantize=True)
+    queries_out["ann_ivf_build"] = round(time.time() - t0, 3)
+    from pyspark.sql import functions as _F
+
+    qtab = emb.limit(1000).select(_F.col("vec_id").alias("query_id"), "embedding")
+    t0 = time.time()
+    search_vector_index_table(spark, vidx, qtab, k=10, nprobe=4).count()
+    vt_sec = time.time() - t0
+    queries_out["ann_ivf_table_1k"] = round(vt_sec, 3)
+    shutil.rmtree(work_v, ignore_errors=True)
+
     shutil.rmtree(work, ignore_errors=True)
 
     print(
