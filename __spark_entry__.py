@@ -490,7 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ivf_persisted(s, d):
         from pysearch.ops.vector_index import build_vector_index, search_vector_index
 
-        idx = _index_dir(d, "ivf4")
+        idx = _index_dir(d, "ivf5")
         emb = _emb(s, d)
         build_vector_index(s, emb, idx, nlist=8, seed=42)
         qrows = emb.where("vec_id < 4").collect()
@@ -513,7 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             search_vector_index,
         )
 
-        idx = _index_dir(d, "ivf_lc4")
+        idx = _index_dir(d, "ivf_lc5")
         emb = _emb(s, d)
         build_vector_index(s, emb.where("vec_id < 300"), idx, nlist=8, seed=42)
         append_vectors(s, idx, emb.where("vec_id >= 300"), key="rest")
@@ -539,7 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             search_vector_index,
         )
 
-        idx = _index_dir(d, "ivf_inc4")
+        idx = _index_dir(d, "ivf_inc5")
         emb = _emb(s, d)
         build_vector_index(s, emb.where("vec_id < 300"), idx, nlist=8, seed=42)
         append_vectors(s, idx, emb.where("vec_id >= 300"), key="rest")
@@ -565,7 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ivf_quantized(s, d):
         from pysearch.ops.vector_index import build_vector_index, search_vector_index
 
-        idx = _index_dir(d, "ivf_q4")
+        idx = _index_dir(d, "ivf_q5")
         emb = _emb(s, d)
         build_vector_index(s, emb, idx, nlist=8, seed=42, quantize=True)
         qrows = emb.where("vec_id < 4").collect()
@@ -574,6 +574,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("query_id", "neighbor_id", "rank")
 
     q["ann_ivf_quantized_rerank"] = ivf_quantized
+
+    # ---- one-bit tier (OneBitScalarQuantizer.java analog: trained mean
+    # thresholds, 1 bit/dim, hamming traversal, exact rerank) --------------
+    def ivf_onebit(s, d):
+        from pysearch.ops.vector_index import build_vector_index, search_vector_index
+
+        idx = _index_dir(d, "ivf_ob5")
+        emb = _emb(s, d)
+        build_vector_index(
+            s, emb, idx, nlist=8, seed=42, quantize=True, quant_kind="onebit"
+        )
+        qrows = emb.where("vec_id < 4").collect()
+        queries_v = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+        out = search_vector_index(s, idx, queries_v, k=10, nprobe=8, rerank_factor=12)
+        return out.select("query_id", "neighbor_id", "rank")
+
+    q["ann_ivf_onebit_rerank"] = ivf_onebit
 
     # ---- query-TABLE vector search: distributed probe assignment + cell
     # co-partitioned join — the 10^6-query offline path (query embeddings
@@ -584,7 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             search_vector_index_table,
         )
 
-        idx = _index_dir(d, "ivf4")
+        idx = _index_dir(d, "ivf5")
         emb = _emb(s, d)
         build_vector_index(s, emb, idx, nlist=8, seed=42)
         qdf = emb.where("vec_id < 6").select(
@@ -990,6 +1007,21 @@ SELECT query_id, neighbor_id, rank FROM (
          ) AS rank
   FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
   WHERE q.vec_id < 6
+) WHERE rank <= 10
+"""
+    # one-bit tier: the exact rerank restores full-precision ranks (hamming
+    # traversal only shrinks the candidate pool; 12x oversample covers it at
+    # gate scale)
+    o["ann_ivf_onebit_rerank"] = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding, x.embedding), 9) DESC,
+                    x.vec_id ASC
+         ) AS rank
+  FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
+  WHERE q.vec_id < 4
 ) WHERE rank <= 10
 """
     # incremental (pure-metadata) merge: nothing deleted, so the merged state

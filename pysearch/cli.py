@@ -109,7 +109,9 @@ def main(argv: list[str] | None = None) -> int:
     pvb.add_argument("--nlist", type=int, default=16)
     pvb.add_argument("--space", default="cosinesimil")
     pvb.add_argument("--quantize", action="store_true",
-                     help="add the int8 traversal tier (exact rerank at query)")
+                     help="add the compressed traversal tier (exact rerank at query)")
+    pvb.add_argument("--quant-kind", default="int8", choices=("int8", "onebit"),
+                     help="int8 min/max codes or one-bit mean-threshold codes")
     pvb.add_argument("--cpus", default=None)
 
     pvs = sub.add_parser("vector-search")
@@ -230,7 +232,7 @@ def main(argv: list[str] | None = None) -> int:
         emb = spark.read.parquet(args.embeddings)
         meta = build_vector_index(
             spark, emb, args.index, nlist=args.nlist, space=args.space,
-            quantize=args.quantize,
+            quantize=args.quantize, quant_kind=args.quant_kind,
         )
         docs = sum(m["num_docs"] for m in meta.live_manifests().values())
         print(json.dumps({"indexed_vectors": docs, "sec": time.time() - t0}))

@@ -112,6 +112,47 @@ def _load_centroids(index_dir: str) -> np.ndarray:
     return np.array(cb["centroids"], dtype=np.float64)
 
 
+# one-bit quantization state (OneBitScalarQuantizationState /
+# QuantizationStateSerializer analog): per-dimension mean thresholds trained
+# once from a deterministic sample, persisted as tiny metadata, REUSED by
+# appends and merges (never retrained — the compression-state-reuse rule).
+
+ONEBIT_SAMPLE_SIZE = 25_000  # reference DEFAULT_SAMPLE_SIZE
+
+
+def _train_onebit_thresholds(
+    emb: DataFrame, id_col: str, vec: str, sample: int = ONEBIT_SAMPLE_SIZE
+) -> np.ndarray:
+    """Per-dimension mean over a deterministic sample (lowest md5-hashed ids
+    — order-independent, so resume reproduces it; the ReservoirSampler
+    analog made deterministic), QuantizerHelper.calculateMeanThresholds."""
+    rows = (
+        emb.select(id_col, vec)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r[vec] for r in rows], dtype=np.float64)
+    return X.mean(axis=0)
+
+
+def _quant_state_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "quant_state.json")
+
+
+def _load_onebit_thresholds(index_dir: str) -> np.ndarray:
+    st = json.load(open(_quant_state_path(index_dir)))
+    return np.array(st["thresholds"], dtype=np.float64)
+
+
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int32)
+
+
+def _onebit_codes(X: np.ndarray, thr: np.ndarray) -> list[bytes]:
+    bits = np.packbits(X > thr[None, :], axis=1)
+    return [b.tobytes() for b in bits]
+
+
 def _quantize_rows(X: np.ndarray) -> tuple[list[bytes], np.ndarray, np.ndarray]:
     """Per-vector min/max int8 scalar quantization (vectorized over the
     batch). code = round((x - lo) / step), step = (hi - lo) / 255."""
@@ -134,13 +175,17 @@ def _dequantize(pdf: pd.DataFrame) -> np.ndarray:
     return lo[:, None] + codes * step[:, None]
 
 
-def _assign_factory(bC, space: str, id_col: str, vec: str, quantize: bool):
+def _assign_factory(
+    bC, space: str, id_col: str, vec: str, quantize: bool, bthr=None
+):
     """Nearest-centroid assignment in the index's space (centroids are unit
     vectors from spherical k-means; l2 uses true distances to them), plus
-    the optional int8 compression tier."""
+    the optional compression tier: int8 min/max codes, or one-bit
+    mean-threshold codes when a threshold broadcast is supplied."""
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Cv = bC.value
+        thr = bthr.value if bthr is not None else None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -154,10 +199,15 @@ def _assign_factory(bC, space: str, id_col: str, vec: str, quantize: bool):
                 }
             )
             if quantize:
-                codes, lo, step = _quantize_rows(X)
-                out["qcode"] = codes
-                out["qlo"] = lo
-                out["qstep"] = step
+                if thr is not None:
+                    out["qcode"] = _onebit_codes(X, thr)
+                    out["qlo"] = 0.0
+                    out["qstep"] = 0.0
+                else:
+                    codes, lo, step = _quantize_rows(X)
+                    out["qcode"] = codes
+                    out["qlo"] = lo
+                    out["qstep"] = step
             yield out
 
     return assign
@@ -233,15 +283,21 @@ def build_vector_index(
     space: str = "cosinesimil",
     quantize: bool = False,
     min_quant_rows: int = 0,
+    quant_kind: str = "int8",
 ) -> IndexMeta:
     """Train centroids, assign every vector to its nearest cell, persist the
     cell-partitioned vector segment + centroid codebook + manifest.
-    ``quantize=True`` adds the int8 compression tier next to the
-    full-precision column — per segment, only when the segment has at least
-    ``min_quant_rows`` vectors (the reference's quantize-if-large trigger;
-    search handles mixed indexes). Idempotent (commit-log keyed)."""
+    ``quantize=True`` adds a compression tier next to the full-precision
+    column — ``quant_kind="int8"`` (per-vector min/max scalar codes) or
+    ``"onebit"`` (per-dimension mean-threshold bit codes, the
+    OneBitScalarQuantizer analog: 1 bit/dim, hamming traversal) — per
+    segment, only when the segment has at least ``min_quant_rows`` vectors
+    (the reference's quantize-if-large trigger; search handles mixed
+    indexes). Idempotent (commit-log keyed)."""
     from pysearch.config import IndexConfig
 
+    if quant_kind not in ("int8", "onebit"):
+        raise ValueError("quant_kind must be 'int8' or 'onebit'")
     meta = IndexMeta(index_dir)
     meta.initialize(
         IndexConfig(
@@ -252,6 +308,7 @@ def build_vector_index(
                 "space": space,
                 "quantize": bool(quantize),
                 "min_quant_rows": int(min_quant_rows),
+                "quant_kind": quant_kind,
             }
         )
     )
@@ -266,9 +323,17 @@ def build_vector_index(
         os.path.join(index_dir, "centroids.json"),
         {"nlist": int(C.shape[0]), "dim": int(C.shape[1]), "centroids": C.tolist()},
     )
+    bthr = None
+    if quantize and quant_kind == "onebit":
+        thr = _train_onebit_thresholds(emb, id_col, vec)
+        _write_json_atomic(
+            _quant_state_path(index_dir),
+            {"kind": "onebit", "dim": int(thr.size), "thresholds": thr.tolist()},
+        )
+        bthr = spark.sparkContext.broadcast(thr)
     bC = spark.sparkContext.broadcast(C)
     assigned = emb.select(id_col, vec).mapInPandas(
-        _assign_factory(bC, space, id_col, vec, q_seg),
+        _assign_factory(bC, space, id_col, vec, q_seg, bthr=bthr),
         schema=_schema_for(q_seg),
     )
     _write_vector_segment(
@@ -306,9 +371,13 @@ def append_vectors(
     cfg = meta.load_config()
     q_seg = _quantize_segment(cfg, emb.count)
     bC = spark.sparkContext.broadcast(_load_centroids(index_dir))
+    bthr = None
+    if q_seg and cfg.extra.get("quant_kind") == "onebit":
+        # quantization-state REUSE: the trained thresholds, never retrained
+        bthr = spark.sparkContext.broadcast(_load_onebit_thresholds(index_dir))
     assigned = emb.select(id_col, vec).mapInPandas(
         _assign_factory(
-            bC, cfg.extra.get("space", "cosinesimil"), id_col, vec, q_seg
+            bC, cfg.extra.get("space", "cosinesimil"), id_col, vec, q_seg, bthr=bthr
         ),
         schema=_schema_for(q_seg),
     )
@@ -463,16 +532,28 @@ def merge_vector_index(
         # state reuse, not retraining)
         q_out = _quantize_segment(cfg, lambda: total - n_dead)
         if q_out:
+            bthr = (
+                spark.sparkContext.broadcast(_load_onebit_thresholds(index_dir))
+                if cfg.extra.get("quant_kind") == "onebit"
+                else None
+            )
+
             def requant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                thr = bthr.value if bthr is not None else None
                 for pdf in batches:
                     if not len(pdf):
                         continue
                     X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                    codes, lo, step = _quantize_rows(X)
                     out = pdf[["vec_id", "embedding", "cell"]].copy()
-                    out["qcode"] = codes
-                    out["qlo"] = lo
-                    out["qstep"] = step
+                    if thr is not None:
+                        out["qcode"] = _onebit_codes(X, thr)
+                        out["qlo"] = 0.0
+                        out["qstep"] = 0.0
+                    else:
+                        codes, lo, step = _quantize_rows(X)
+                        out["qcode"] = codes
+                        out["qlo"] = lo
+                        out["qstep"] = step
                     yield out
 
             cells = cells.mapInPandas(requant, schema=_VEC_SCHEMA_Q)
@@ -583,22 +664,31 @@ def _read_cells(
 # search
 # ---------------------------------------------------------------------------
 
-def _topk_kernel_factory(bq, space: str, k_out: int, quantized: bool):
+def _topk_kernel_factory(bq, space: str, k_out: int, quantized):
     """Per-batch vectorized top-k over ALL queries at once: one similarity
     matrix, one probe-membership mask indexed by cell (no per-query Python
-    loop), one argpartition along axis 1."""
+    loop), one argpartition along axis 1. `quantized` is False (score exact
+    floats), "int8" (score dequantized approximations) or "onebit" (score
+    negative hamming over packed bit codes — 1 bit/dim scanned)."""
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_, Q_, probe_mask = bq.value  # probe_mask: (nq, nlist) bool
+        qids_, Q_, probe_mask, qbits = bq.value  # probe_mask: (nq, nlist)
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = _dequantize(pdf) if quantized else np.stack(
-                pdf["embedding"].to_numpy()
-            ).astype(np.float64)
             ids = pdf["vec_id"].to_numpy(np.int64)
             cell = pdf["cell"].to_numpy(np.int64)
-            S = _space_similarities(Q_, X, space)
+            if quantized == "onebit":
+                codes = np.frombuffer(b"".join(pdf["qcode"]), np.uint8).reshape(
+                    len(pdf), -1
+                )
+                xor = qbits[:, None, :] ^ codes[None, :, :]
+                S = -_POPCNT[xor].sum(axis=2).astype(np.float64)
+            else:
+                X = _dequantize(pdf) if quantized else np.stack(
+                    pdf["embedding"].to_numpy()
+                ).astype(np.float64)
+                S = _space_similarities(Q_, X, space)
             mask = probe_mask[:, cell] & (ids[None, :] != qids_[:, None])
             S = np.where(mask, S, -np.inf)
             kk = min(k_out, S.shape[1])
@@ -699,7 +789,12 @@ def search_vector_index(
             data = data.join(allow_df, "vec_id", "left_semi")
         return data
 
-    bq = spark.sparkContext.broadcast((qids, Q, probe_mask))
+    quant_kind = cfg.extra.get("quant_kind", "int8")
+    qbits = None
+    if quant_paths and quant_kind == "onebit":
+        thr = _load_onebit_thresholds(index_dir)
+        qbits = np.packbits(Q > thr[None, :], axis=1)
+    bq = spark.sparkContext.broadcast((qids, Q, probe_mask, qbits))
     locals_: list[DataFrame] = []
     if plain_paths:
         # full-precision segments: exact scoring in one pass
@@ -711,16 +806,19 @@ def search_vector_index(
             )
         )
     if quant_paths:
-        # quantized segments: approximate traversal over the int8 column
-        # (full-precision bytes never read), then exact rerank of the
-        # per-batch top-(k*rerank_factor) candidates against the float
-        # column — the final window ranks everything on exact scores
+        # quantized segments: approximate traversal over the compressed
+        # column only (int8: 1 byte/dim dequantized scoring; onebit:
+        # 1 bit/dim hamming), then exact rerank of the per-batch
+        # top-(k*rerank_factor) candidates against the float column — the
+        # final window ranks everything on exact scores
         k_traverse = max(k * rerank_factor, 50)
-        data_q = restricted(
-            _read_paths(spark, quant_paths, ["vec_id", "cell", "qcode", "qlo", "qstep"])
+        quant_cols = (
+            ["vec_id", "cell", "qcode"] if quant_kind == "onebit"
+            else ["vec_id", "cell", "qcode", "qlo", "qstep"]
         )
+        data_q = restricted(_read_paths(spark, quant_paths, quant_cols))
         cand = data_q.mapInPandas(
-            _topk_kernel_factory(bq, space, k_traverse, quantized=True),
+            _topk_kernel_factory(bq, space, k_traverse, quantized=quant_kind),
             schema=_OUT_SCHEMA,
         ).select("query_id", "neighbor_id")
         full = _read_paths(spark, quant_paths, ["vec_id", "embedding"])

@@ -228,6 +228,55 @@ def test_quantize_trigger_policy_mixed_index(spark, tmp_index):
     emb.unpersist()
 
 
+def test_onebit_quantizer_lifecycle(spark, tmp_index):
+    """One-bit tier (OneBitScalarQuantizer analog): mean thresholds trained
+    once and persisted as quantization state, 1-bit packed codes, hamming
+    traversal + exact rerank = rank-identical under full probe with enough
+    oversample; appends and compact merges REUSE the state (no retrain)."""
+    import json as _json
+
+    from pysearch.ops.vector_index import merge_vector_index as mvi
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    build_vector_index(
+        spark, emb.where("vec_id < 400"), tmp_index, nlist=8, seed=42,
+        quantize=True, quant_kind="onebit",
+    )
+    meta = IndexMeta(tmp_index)
+    st = _json.load(open(os.path.join(tmp_index, "quant_state.json")))
+    assert st["kind"] == "onebit" and len(st["thresholds"]) == st["dim"]
+    cells = spark.read.parquet(
+        os.path.join(meta.segment_dir("vectors"), "cells.parquet")
+    )
+    row = cells.limit(1).collect()[0]
+    assert len(row["qcode"]) == (st["dim"] + 7) // 8  # 1 bit/dim packed
+
+    qids = [1, 2, 3]
+    qs = _queries(emb, qids)
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rows)
+    got = search_vector_index(
+        spark, tmp_index, qs, k=10, nprobe=8, rerank_factor=12
+    ).collect()
+    exact = cosine_topk(emb.where("vec_id < 400"), qids, k=10).collect()
+    assert key(got) == key(exact)
+
+    # append + compact merge reuse the trained state (file unchanged)
+    append_vectors(spark, tmp_index, emb.where("vec_id >= 400"), key="rest")
+    st2 = _json.load(open(os.path.join(tmp_index, "quant_state.json")))
+    assert st2 == st
+    delete_vectors(spark, tmp_index, key="m13", where="vec_id % 13 = 0")
+    mvi(spark, tmp_index, compact=True)
+    st3 = _json.load(open(os.path.join(tmp_index, "quant_state.json")))
+    assert st3 == st
+    survivors = emb.where("vec_id % 13 <> 0")
+    got2 = search_vector_index(
+        spark, tmp_index, qs, k=10, nprobe=8, rerank_factor=12
+    ).collect()
+    exact2 = cosine_topk(survivors, qids, k=10).collect()
+    assert key(got2) == key(exact2)
+    emb.unpersist()
+
+
 def test_table_search_distributed_parity(spark, tmp_index):
     """Query-TABLE vector search: distributed probe assignment + cell join,
     results identical to the driver-list path and to exact brute force under
