@@ -592,6 +592,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_onebit_rerank"] = ivf_onebit
 
+    # ---- radial vector search (max_distance | min_score contract,
+    # KNNQueryBuilder.java:64-81): unbounded threshold mode, exact tier -----
+    def ivf_radial(s, d):
+        from pysearch.ops.vector_index import build_vector_index, search_vector_index
+
+        idx = _index_dir(d, "ivf5")
+        emb = _emb(s, d)
+        build_vector_index(s, emb, idx, nlist=8, seed=42)
+        qrows = emb.where("vec_id < 4").collect()
+        queries_v = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+        out = search_vector_index(s, idx, queries_v, nprobe=8, min_sim=0.35)
+        return out.select("query_id", "neighbor_id", "rank")
+
+    q["ann_ivf_radial"] = ivf_radial
+
     # ---- query-TABLE vector search: distributed probe assignment + cell
     # co-partitioned join — the 10^6-query offline path (query embeddings
     # never ride the driver); full probe -> exact, so the oracle applies ----
@@ -1023,6 +1038,21 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
   WHERE q.vec_id < 4
 ) WHERE rank <= 10
+"""
+    # radial (threshold) mode: full probe -> exact; unbounded result set
+    # (float32 caveat as elsewhere: ranks/ids compared, never the float)
+    o["ann_ivf_radial"] = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
+         list_cosine_similarity(q.embedding, x.embedding) AS sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding, x.embedding), 9) DESC,
+                    x.vec_id ASC
+         ) AS rank
+  FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
+  WHERE q.vec_id < 4
+) WHERE sim >= 0.35
 """
     # incremental (pure-metadata) merge: nothing deleted, so the merged state
     # covers the full corpus; full probe -> exact semantics

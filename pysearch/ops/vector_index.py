@@ -742,18 +742,41 @@ def search_vector_index(
     allow_ids: "list[int] | DataFrame | None" = None,
     space: str | None = None,
     rerank_factor: int = 4,
+    min_sim: float | None = None,
+    max_distance: float | None = None,
 ) -> DataFrame:
     """Top-k per query vector across every live segment, scanning only the
     probed cells (partition pruning), deleted vectors masked by an anti-join,
     allowed ids by a semi-join (an id DataFrame or list — never literals in
     the plan). Quantized indexes run a two-tier plan: approximate traversal
-    over the int8 column (full-precision bytes never read), then exact
+    over the compressed column (full-precision bytes never read), then exact
     rerank of the per-batch top-(k*rerank_factor) candidates against the
     full-precision column. Returns (query_id, neighbor_id, cosine, rank).
-    `space` defaults to the index's build-time space."""
+    `space` defaults to the index's build-time space.
+
+    RADIAL mode (the reference's max_distance | min_score contract,
+    KNNQueryBuilder.java:64-81 / RadialQuery): set `min_sim` (raw-similarity
+    threshold — cosine for cosinesimil, negated distance for metric spaces)
+    or `max_distance` (converted per space) and EVERY neighbor at or above
+    the threshold is returned, unbounded — `k` is ignored. Radial scoring is
+    exact-tier by construction (thresholds cannot be proven against lossy
+    codes), reading the full-precision column on every segment."""
     meta = IndexMeta(index_dir)
     cfg = meta.load_config()
     space = space or cfg.extra.get("space", "cosinesimil")
+    if min_sim is not None and max_distance is not None:
+        raise ValueError("set at most one of min_sim | max_distance")
+    if max_distance is not None:
+        if space == "cosinesimil":
+            min_sim = 1.0 - max_distance  # cosine distance = 1 - cos
+        elif space == "l2":
+            min_sim = -(max_distance ** 2)  # sim = -d^2
+        elif space in ("l1", "linf"):
+            min_sim = -max_distance
+        else:
+            raise ValueError(
+                "max_distance is undefined for innerproduct; use min_sim"
+            )
     C = _load_centroids(index_dir)
     qids = np.array([q[0] for q in queries], dtype=np.int64)
     Q = np.array([q[1] for q in queries], dtype=np.float64)
@@ -788,6 +811,51 @@ def search_vector_index(
         if allow_df is not None:
             data = data.join(allow_df, "vec_id", "left_semi")
         return data
+
+    if min_sim is not None:
+        # radial: exact full-precision scan of the probed cells, EVERY hit
+        # >= threshold kept (unbounded by contract, like the text engine's
+        # min_score mode — no per-batch or global truncation)
+        brad = spark.sparkContext.broadcast((qids, Q, probe_mask))
+        thr_v = float(min_sim)
+
+        def radial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qids_, Q_, pmask = brad.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                ids = pdf["vec_id"].to_numpy(np.int64)
+                cell = pdf["cell"].to_numpy(np.int64)
+                S = _space_similarities(Q_, X, space)
+                hit = (
+                    pmask[:, cell]
+                    & (ids[None, :] != qids_[:, None])
+                    & (S >= thr_v)
+                )
+                qi, xi = np.nonzero(hit)
+                if not qi.size:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids_[qi],
+                        "neighbor_id": ids[xi],
+                        "sim": S[qi, xi],
+                    }
+                )
+
+        data_all = restricted(
+            _read_paths(
+                spark, plain_paths + quant_paths, ["vec_id", "embedding", "cell"]
+            )
+        )
+        local = data_all.mapInPandas(radial, schema=_OUT_SCHEMA)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round(F.col("sim"), 9)), F.asc("neighbor_id")
+        )
+        return local.withColumn("rank", F.row_number().over(w)).select(
+            "query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rank"
+        )
 
     quant_kind = cfg.extra.get("quant_kind", "int8")
     qbits = None

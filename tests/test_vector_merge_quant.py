@@ -277,6 +277,48 @@ def test_onebit_quantizer_lifecycle(spark, tmp_index):
     emb.unpersist()
 
 
+def test_radial_vector_search(spark, tmp_index):
+    """Radial mode (max_distance | min_score contract): unbounded result set
+    of every neighbor at/above the threshold; exact under full probe even on
+    a quantized index (radial always reads full precision); max_distance
+    converts per space."""
+    import numpy as np
+
+    from pysearch.ops.vector_index import delete_vectors as dv
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    build_vector_index(
+        spark, emb, tmp_index, nlist=8, seed=42, quantize=True
+    )
+    dv(spark, tmp_index, key="m31", where="vec_id % 31 = 0")
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    qids = [1, 2, 3]
+    qs = _queries(emb, qids)
+    got = search_vector_index(
+        spark, tmp_index, qs, nprobe=8, min_sim=0.35
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q in qids:
+        sims = Xn @ Xn[ids == q][0]
+        want = {
+            int(i) for i, s in zip(ids, sims)
+            if s >= 0.35 and i != q and i % 31 != 0
+        }
+        assert by_q.get(q, set()) == want, q
+    # max_distance converts to the same threshold (cosine distance = 1-cos)
+    got2 = search_vector_index(
+        spark, tmp_index, qs, nprobe=8, max_distance=0.65
+    ).collect()
+    key = lambda rows: sorted((r["query_id"], r["neighbor_id"]) for r in rows)
+    assert key(got2) == key(got)
+    emb.unpersist()
+
+
 def test_table_search_distributed_parity(spark, tmp_index):
     """Query-TABLE vector search: distributed probe assignment + cell join,
     results identical to the driver-list path and to exact brute force under
