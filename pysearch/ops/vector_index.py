@@ -153,6 +153,22 @@ def _onebit_codes(X: np.ndarray, thr: np.ndarray) -> list[bytes]:
     return [b.tobytes() for b in bits]
 
 
+def _quant_columns(out: pd.DataFrame, X: np.ndarray, thr: np.ndarray | None) -> None:
+    """Attach the compression-tier columns in place: one-bit mean-threshold
+    codes when `thr` is given, else int8 min/max codes. THE single encode
+    path — build, append and compact-merge all route through it so codes can
+    never diverge between write sites."""
+    if thr is not None:
+        out["qcode"] = _onebit_codes(X, thr)
+        out["qlo"] = 0.0
+        out["qstep"] = 0.0
+    else:
+        codes, lo, step = _quantize_rows(X)
+        out["qcode"] = codes
+        out["qlo"] = lo
+        out["qstep"] = step
+
+
 def _quantize_rows(X: np.ndarray) -> tuple[list[bytes], np.ndarray, np.ndarray]:
     """Per-vector min/max int8 scalar quantization (vectorized over the
     batch). code = round((x - lo) / step), step = (hi - lo) / 255."""
@@ -199,15 +215,7 @@ def _assign_factory(
                 }
             )
             if quantize:
-                if thr is not None:
-                    out["qcode"] = _onebit_codes(X, thr)
-                    out["qlo"] = 0.0
-                    out["qstep"] = 0.0
-                else:
-                    codes, lo, step = _quantize_rows(X)
-                    out["qcode"] = codes
-                    out["qlo"] = lo
-                    out["qstep"] = step
+                _quant_columns(out, X, thr)
             yield out
 
     return assign
@@ -492,10 +500,26 @@ def merge_vector_index(
     if len(inputs) == 1 and tomb_n == 0:
         return inputs[0]  # already compact, nothing to fold or drop
 
+    def seg_name(c: bool) -> str:
+        digest = hashlib.sha1(
+            ("|".join(inputs) + f"|compact={c}").encode()
+        ).hexdigest()[:12]
+        return f"vectors_m_{digest}"
+
+    # idempotent replay short-circuits BEFORE any data job (an auto merge
+    # resolved to one of the two digests on its first run)
+    for c in ((False, True) if compact is None else (compact,)):
+        if meta.has_commit(f"merge_{seg_name(c)}"):
+            return seg_name(c)
+
+    total = sum(meta.read_manifest(s)["num_docs"] for s in inputs)
     dead_df = meta.tombstones_df(spark)
     dead_here = None
     n_dead = 0
-    if dead_df is not None:
+    # the dead-rows scan only matters to resolve the density guard or to
+    # drop rows in a compaction — an EXPLICIT incremental merge stays pure
+    # metadata with zero data jobs
+    if dead_df is not None and compact is not False:
         dead_here = (
             _read_cells(spark, meta, inputs)
             .select(F.col("vec_id").alias("doc_id"))
@@ -503,19 +527,11 @@ def merge_vector_index(
             .persist()
         )
         n_dead = dead_here.count()
-    total = sum(meta.read_manifest(s)["num_docs"] for s in inputs)
     if compact is None:
         compact = (n_dead / total if total else 0.0) > max_tombstone_density
 
-    digest = hashlib.sha1(
-        ("|".join(inputs) + f"|compact={compact}").encode()
-    ).hexdigest()[:12]
-    new_seg = f"vectors_m_{digest}"
+    new_seg = seg_name(compact)
     key = f"merge_{new_seg}"
-    if meta.has_commit(key):
-        if dead_here is not None:
-            dead_here.unpersist()
-        return new_seg
     t0 = time.time()
 
     if compact:
@@ -545,15 +561,7 @@ def merge_vector_index(
                         continue
                     X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
                     out = pdf[["vec_id", "embedding", "cell"]].copy()
-                    if thr is not None:
-                        out["qcode"] = _onebit_codes(X, thr)
-                        out["qlo"] = 0.0
-                        out["qstep"] = 0.0
-                    else:
-                        codes, lo, step = _quantize_rows(X)
-                        out["qcode"] = codes
-                        out["qlo"] = lo
-                        out["qstep"] = step
+                    _quant_columns(out, X, thr)
                     yield out
 
             cells = cells.mapInPandas(requant, schema=_VEC_SCHEMA_Q)
@@ -889,7 +897,12 @@ def search_vector_index(
             _topk_kernel_factory(bq, space, k_traverse, quantized=quant_kind),
             schema=_OUT_SCHEMA,
         ).select("query_id", "neighbor_id")
-        full = _read_paths(spark, quant_paths, ["vec_id", "embedding"])
+        # candidates live inside probed cells by construction, so the rerank
+        # scan keeps the same cell partition pruning — full-precision bytes
+        # are read for the probed cells only, not the whole index
+        full = _read_paths(spark, quant_paths, ["vec_id", "embedding", "cell"]).where(
+            F.col("cell").isin(cells)
+        ).drop("cell")
         joined = cand.join(
             full.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
         )

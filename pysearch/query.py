@@ -569,7 +569,9 @@ class SearchIndex:
                     "k": q.k if q.k is not None else (1 << 40),
                     "min_score": q.min_score,
                     "has_filter": q.filter_expr is not None,
-                    "oq": q.overquery_factor,  # honored like search() does
+                    # overquery_factor is irrelevant here: the batch kernel
+                    # scores exact TAAT with a tie-inclusive cut, so there is
+                    # no first-pass approximation to oversample
                 }
             )
             all_terms.extend(t for t in compiled["keys"] if t not in all_terms)
@@ -609,9 +611,19 @@ class SearchIndex:
             return spark.createDataFrame([], out_schema)
 
         buckets = sorted({bucket_of(t, cfg.term_buckets) for t in live_terms})
-        postings = self._postings_df.where(
-            F.col("bucket").isin(buckets) & F.col("term").isin(live_terms)
-        )
+        postings = self._postings_df.where(F.col("bucket").isin(buckets))
+        if len(live_terms) <= 512:
+            # small vocabularies ride the plan as literals so the In(term,..)
+            # predicate reaches parquet row groups
+            postings = postings.where(F.col("term").isin(live_terms))
+        else:
+            # a 10^4+-term chunk vocabulary as literals bloats analysis and
+            # codegen (the k-map failure mode) — semi-join a tiny broadcast
+            # terms table instead; bucket partition pruning still applies
+            terms_df = spark.createDataFrame(
+                [(t,) for t in live_terms], "term string"
+            )
+            postings = postings.join(F.broadcast(terms_df), "term", "left_semi")
         if not any_phrases:
             # positions payload pruned whenever no query needs the phrase tier
             postings = postings.drop("poss")
@@ -652,11 +664,7 @@ class SearchIndex:
         for p in parts[1:]:
             restrict = restrict.unionByName(p)
 
-        seg_docs = {s: self.manifests[s]["num_docs"] for s in self.segments}
-        kernel = _batch_search_factory(
-            qinfos, cfg.k1, cfg.b, avgdl_map, cfg.overquery_factor,
-            seg_docs, cfg.approximate_threshold, cfg.filter_bitmap_selectivity,
-        )
+        kernel = _batch_search_factory(qinfos, cfg.k1, cfg.b, avgdl_map)
         cand_schema = T.StructType(
             [
                 T.StructField("query_id", T.LongType()),
@@ -794,7 +802,12 @@ class SearchIndex:
 
             return compile_part
 
-        compiled_df = norm.mapInPandas(compile_factory(code_aware), compile_schema)
+        # persisted: the compile output feeds up to three actions (prefix
+        # collect, dictionary-stats join, compiled-row collect) — without the
+        # persist each would re-run the tokenize pass over the whole table
+        compiled_df = norm.mapInPandas(
+            compile_factory(code_aware), compile_schema
+        ).persist()
 
         # ONE distributed job resolves term stats for the whole table:
         # distinct vocabulary (plus driver-expanded prefixes, which are rare
@@ -824,6 +837,7 @@ class SearchIndex:
         # compact compiled rows to the driver (terms + k + filter — never the
         # raw text), then chunked kernel dispatch
         rows = compiled_df.collect()
+        compiled_df.unpersist()
         id_map_schema = T.StructType(
             [
                 T.StructField("q_pos", T.LongType()),
@@ -836,6 +850,12 @@ class SearchIndex:
             part = rows[lo : lo + chunk]
             qinfos, filter_exprs = [], []
             for i, r in enumerate(part):
+                if not (0 < int(r["_k"]) <= 10_000):
+                    # same contract as Query.validate(): surface the caller's
+                    # bad k instead of silently returning zero hits
+                    raise ValueError(
+                        f"query {r['_qid']!r}: k must be in (0, 10000], got {r['_k']}"
+                    )
                 terms: list[str] = []
                 for t in r["_terms"]:
                     if t.endswith("*") and len(t) > 1:
@@ -858,7 +878,6 @@ class SearchIndex:
                         "k": int(r["_k"]),
                         "min_score": None,
                         "has_filter": r["_f"] is not None,
-                        "oq": None,
                     }
                 )
                 filter_exprs.append(r["_f"])
@@ -994,9 +1013,7 @@ def _metrics_schema():
     )
 
 
-def _batch_search_factory(
-    qinfos, k1, b, avgdl_map, overquery, seg_docs, approx_threshold, bitmap_sel
-):
+def _batch_search_factory(qinfos, k1, b, avgdl_map):
     """Batch kernel: queries AMORTIZE decode work. Each term's posting list
     is decoded ONCE per segment (not once per query) and its tf-norm —
     tf / (tf + k1*(1-b+b*dl/avgdl)) — is query-independent, so it is cached
