@@ -304,6 +304,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["group_expand_children"] = group_expand
 
+    # ---- nested score modes (ToParentBlockJoin max/total analog): every
+    # matched group scored by max + sum + child count ----------------------
+    def group_modes(s, d):
+        docs = _docs(s, d).select(
+            "doc_id", F.lit("r").alias("repo"), F.lit("p").alias("path"),
+            F.lit("c").alias("commit"), "lang", F.col("text").alias("content"),
+        )
+        scored = bm25_topk(docs, Q_MULTI, k=None, min_score=0.0, config=ENTRY_CFG)
+        src = _docs(s, d).select("doc_id", "source")
+        out = rerank.group_scores(scored.join(src, "doc_id"), "source")
+        return out.select(
+            "source",
+            F.round("max_score", 4).alias("max_score"),
+            F.round("sum_score", 4).alias("sum_score"),
+            F.col("n_children").cast("long").alias("n_children"),
+        )
+
+    q["group_score_modes"] = group_modes
+
     # ---- MMR diversification (Q14/Q15 analog; no SQL oracle — the greedy
     # loop is machine-checked IN-GATE: contract assertions fail the entry) --
     def mmr(s, d):
@@ -786,6 +805,31 @@ top3 AS (
 SELECT t.source AS source, d.doc_id AS doc_id,
        CAST(round(t.best_s, 4) AS DOUBLE) AS parent_score
 FROM top3 t JOIN documents d ON d.source = t.source
+"""
+
+    o["group_score_modes"] = f"""
+WITH corpus AS (SELECT * FROM documents),
+tok AS (SELECT doc_id, unnest({tok}) AS term FROM corpus),
+stats AS (SELECT (SELECT count(*) FROM corpus) AS n,
+                 (SELECT count(*) FROM tok) * 1.0 / (SELECT count(*) FROM corpus) AS avgdl),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+       WHERE term IN ('merge','join','filter','stream') GROUP BY term),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+       WHERE term IN ('merge','join','filter','stream') GROUP BY doc_id, term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT d.source AS source,
+       CAST(round(max(s), 4) AS DOUBLE) AS max_score,
+       CAST(round(sum(s), 4) AS DOUBLE) AS sum_score,
+       count(*)::BIGINT AS n_children
+FROM scored JOIN documents d ON scored.doc_id = d.doc_id
+GROUP BY d.source
 """
 
     o["text_token_stats"] = f"""

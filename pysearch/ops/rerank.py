@@ -35,6 +35,30 @@ def group_top_docs(
     )
 
 
+def group_scores(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str = "score",
+    k_groups: int | None = None,
+) -> DataFrame:
+    """Per-parent score aggregation — the nested-search ScoreMode analog
+    (Lucene ToParentBlockJoin max/total/none; the reference's nested factory
+    scores a parent by its best child): every matched group with its
+    max/sum/count of child scores, optionally truncated to the `k_groups`
+    best by (max desc, group asc). Sum and count are emitted instead of avg
+    so exact-value verification never depends on division order."""
+    agg = scored.groupBy(group_col).agg(
+        F.max(score_col).alias("max_score"),
+        F.sum(score_col).alias("sum_score"),
+        F.count(F.lit(1)).cast("long").alias("n_children"),
+    )
+    if k_groups is not None:
+        agg = agg.orderBy(
+            F.desc(F.round(F.col("max_score"), 9)), F.asc(group_col)
+        ).limit(k_groups)
+    return agg
+
+
 def expand_group_docs(
     parents_topk: DataFrame,
     all_children: DataFrame,
