@@ -90,6 +90,65 @@ def verify_index(
     return summary
 
 
+def verify_vector_index(spark: SparkSession, index_dir: str) -> dict:
+    """checkIntegrity twin for the persisted IVF index: per-segment cell
+    counts reconcile with the manifest, vec_ids are unique within a segment,
+    cell assignments are in range, and quantized segments carry well-formed
+    codes (constant byte length = packed dim). Raises AssertionError on the
+    first violation, returns a summary when clean."""
+    import json as _json
+
+    from pysearch.ops.vector_index import _cells_rel_split, _read_paths
+
+    meta = IndexMeta(index_dir)
+    cfg = meta.load_config()
+    assert cfg.extra.get("kind") == "ivf", "not a vector index"
+    nlist = int(cfg.extra.get("nlist", 0))
+    cb = _json.load(open(os.path.join(index_dir, "centroids.json")))
+    dim = int(cb["dim"])
+    summary = {"segments": 0, "vectors": 0, "quantized_segments": 0}
+    for seg in meta.live_segments():
+        m = meta.read_manifest(seg)
+        plain, quant = _cells_rel_split(meta, seg)
+        n_total = 0
+        for paths, quantized in ((plain, False), (quant, True)):
+            if not paths:
+                continue
+            cols = ["vec_id", "embedding", "cell"] + (
+                ["qcode"] if quantized else []
+            )
+            cells = _read_paths(spark, meta._abs(paths), cols)
+            agg = cells.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("vec_id").alias("n_ids"),
+                F.min("cell").alias("lo"),
+                F.max("cell").alias("hi"),
+                F.min(F.size("embedding")).alias("dim_lo"),
+                F.max(F.size("embedding")).alias("dim_hi"),
+            ).collect()[0]
+            n_total += int(agg["n"])
+            if agg["n"]:
+                assert agg["n"] == agg["n_ids"], f"{seg}: duplicate vec_ids"
+                assert 0 <= agg["lo"] and agg["hi"] < max(nlist, 1), (
+                    f"{seg}: cell out of range"
+                )
+                assert agg["dim_lo"] == dim == agg["dim_hi"], (
+                    f"{seg}: embedding dim != codebook dim"
+                )
+            if quantized and agg["n"]:
+                qk = cfg.extra.get("quant_kind", "int8")
+                want = (dim + 7) // 8 if qk == "onebit" else dim
+                bad = cells.where(F.length("qcode") != want).count()
+                assert bad == 0, f"{seg}: {bad} malformed qcodes"
+                summary["quantized_segments"] += 1
+        assert n_total == m["num_docs"], (
+            f"{seg}: cells {n_total} != manifest {m['num_docs']}"
+        )
+        summary["segments"] += 1
+        summary["vectors"] += n_total
+    return summary
+
+
 def global_dictionary(spark: SparkSession, index_dir: str) -> DataFrame:
     """Global term statistics (df, cf, segments) rolled up across every live
     segment dictionary with EXPLICIT two-phase salted aggregation

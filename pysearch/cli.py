@@ -205,11 +205,15 @@ def main(argv: list[str] | None = None) -> int:
         n = delete_docs(spark, args.index, key=args.key, doc_ids=ids, where=args.where)
         print(json.dumps({"tombstoned": n}))
     elif args.cmd == "verify":
-        from pysearch.admin import verify_index
+        from pysearch.admin import verify_index, verify_vector_index
+        from pysearch.checkpoint import IndexMeta
         from pysearch.corpus import load_repo_files
 
-        corpus = load_repo_files(spark, args.corpus) if args.corpus else None
-        print(json.dumps(verify_index(spark, args.index, corpus)))
+        if IndexMeta(args.index).load_config().extra.get("kind") == "ivf":
+            print(json.dumps(verify_vector_index(spark, args.index)))
+        else:
+            corpus = load_repo_files(spark, args.corpus) if args.corpus else None
+            print(json.dumps(verify_index(spark, args.index, corpus)))
     elif args.cmd == "gc":
         from pysearch.admin import gc_segments
 

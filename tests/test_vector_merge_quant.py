@@ -277,6 +277,35 @@ def test_onebit_quantizer_lifecycle(spark, tmp_index):
     emb.unpersist()
 
 
+def test_verify_vector_index(spark, tmp_index):
+    """Integrity checker over the full lifecycle incl. a mixed quantized/
+    plain index and a pointer-merged segment; corruption is detected."""
+    from pysearch.admin import verify_vector_index
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    build_vector_index(
+        spark, emb.where("vec_id < 400"), tmp_index, nlist=8, seed=42,
+        quantize=True, min_quant_rows=250,
+    )
+    append_vectors(spark, tmp_index, emb.where("vec_id >= 400 and vec_id < 430"), key="s")
+    merge_vector_index(spark, tmp_index, compact=False)  # pointer segment
+    s = verify_vector_index(spark, tmp_index)
+    assert s["segments"] == 1 and s["vectors"] == 430
+    assert s["quantized_segments"] == 1  # the big build segment
+
+    # corrupt the manifest count -> the checker must notice
+    meta = IndexMeta(tmp_index)
+    seg = meta.live_segments()[0]
+    m = meta.read_manifest(seg)
+    m["num_docs"] += 1
+    meta.write_manifest(seg, m)
+    with pytest.raises(AssertionError):
+        verify_vector_index(spark, tmp_index)
+    m["num_docs"] -= 1
+    meta.write_manifest(seg, m)
+    emb.unpersist()
+
+
 def test_radial_vector_search(spark, tmp_index):
     """Radial mode (max_distance | min_score contract): unbounded result set
     of every neighbor at/above the threshold; exact under full probe even on
