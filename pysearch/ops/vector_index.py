@@ -951,6 +951,7 @@ def search_vector_index_table(
     id_col: str = "query_id",
     vec: str = "embedding",
     space: str | None = None,
+    rerank_factor: int = 4,
 ) -> DataFrame:
     """Query-TABLE vector search — the offline-evaluation / training-data
     regime (10^6+ query vectors), fully distributed: query embeddings never
@@ -960,7 +961,11 @@ def search_vector_index_table(
     key — the co-located join), exact per-pair scoring is one rowwise einsum,
     and the per-batch pre-cut keeps the global top-k window input at
     O(queries * partitions * k). Deleted vectors are anti-joined out.
-    Returns (query_id, neighbor_id, cosine, rank)."""
+    Quantized segments keep the two-tier plan here too: the cell join scans
+    the compressed column only (int8 1 byte/dim or one-bit 1 bit/dim), then
+    the per-batch top-(k*rerank_factor) candidates join back to the
+    full-precision column of the probed cells for exact rescoring. Returns
+    (query_id, neighbor_id, cosine, rank)."""
     meta = IndexMeta(index_dir)
     cfg = meta.load_config()
     space = space or cfg.extra.get("space", "cosinesimil")
@@ -999,13 +1004,31 @@ def search_vector_index_table(
     )
 
     live = _live_vector_segments(meta)
-    data = _read_cells(spark, meta, live, columns=["vec_id", "embedding", "cell"])
+    plain_paths, quant_paths = _cells_paths_split(meta, live)
+    if quant_paths:
+        # the probe fan-out feeds the quant join, the rerank cell semi-join
+        # (and possibly the plain join) — persist so the assign pass over
+        # the query table runs once
+        probes_df = probes_df.persist()
     dead = meta.tombstones_df(spark)
-    if dead is not None:
-        data = data.join(
-            dead.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
-        )
-    joined = probes_df.join(data, "cell")
+
+    def masked(data: DataFrame) -> DataFrame:
+        if dead is not None:
+            data = data.join(
+                dead.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+            )
+        return data
+
+    def _group_cut(qids, nids, sim, kk):
+        """Per-batch per-query top-kk cut (lossless superset; +8 slack for
+        np.round half-even vs JVM half-up at the boundary)."""
+        order = np.lexsort((nids, -np.round(sim, 9), qids))
+        qids, nids, sim = qids[order], nids[order], sim[order]
+        starts = np.flatnonzero(np.concatenate(([True], qids[1:] != qids[:-1])))
+        counts = np.diff(np.concatenate((starts, [qids.size])))
+        pos = np.arange(qids.size) - np.repeat(starts, counts)
+        keep = pos < kk + 8
+        return qids[keep], nids[keep], sim[keep], keep
 
     def score_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1020,26 +1043,112 @@ def search_vector_index_table(
             qids, nids, sim = qids[keep], nids[keep], sim[keep]
             if not qids.size:
                 continue
-            # per-batch pre-cut: keep each query's local top-k (+ rounded-
-            # score ties) — a lossless superset of its global top-k
-            order = np.lexsort((nids, -np.round(sim, 9), qids))
-            qids, nids, sim = qids[order], nids[order], sim[order]
-            starts = np.flatnonzero(np.concatenate(([True], qids[1:] != qids[:-1])))
-            counts = np.diff(np.concatenate((starts, [qids.size])))
-            pos = np.arange(qids.size) - np.repeat(starts, counts)
-            # +8 slack: the batch cut orders by np.round (half-even) while
-            # the global window rounds half-up on the JVM — boundary
-            # disagreements stay inside the superset
-            keep = pos < k + 8
+            qids, nids, sim, _ = _group_cut(qids, nids, sim, k)
             yield pd.DataFrame(
-                {
-                    "query_id": qids[keep],
-                    "neighbor_id": nids[keep],
-                    "sim": sim[keep],
-                }
+                {"query_id": qids, "neighbor_id": nids, "sim": sim}
             )
 
-    local = joined.mapInPandas(score_pairs, schema=_OUT_SCHEMA)
+    locals_: list[DataFrame] = []
+    if plain_paths:
+        data_f = masked(_read_paths(spark, plain_paths, ["vec_id", "embedding", "cell"]))
+        locals_.append(
+            probes_df.join(data_f, "cell").mapInPandas(score_pairs, schema=_OUT_SCHEMA)
+        )
+    if quant_paths:
+        quant_kind = cfg.extra.get("quant_kind", "int8")
+        bthr2 = (
+            spark.sparkContext.broadcast(_load_onebit_thresholds(index_dir))
+            if quant_kind == "onebit"
+            else None
+        )
+        quant_cols = (
+            ["vec_id", "cell", "qcode"] if quant_kind == "onebit"
+            else ["vec_id", "cell", "qcode", "qlo", "qstep"]
+        )
+        data_q = masked(_read_paths(spark, quant_paths, quant_cols))
+        k_traverse = max(k * rerank_factor, 50)
+        cand_schema = T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("neighbor_id", T.LongType()),
+                T.StructField("q_emb", T.ArrayType(T.DoubleType())),
+            ]
+        )
+
+        def approx_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            thr = bthr2.value if bthr2 is not None else None
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                qids = pdf["query_id"].to_numpy(np.int64)
+                nids = pdf["vec_id"].to_numpy(np.int64)
+                if thr is not None:
+                    Qr = np.stack(pdf["q_emb"].to_numpy())
+                    qb = np.packbits(Qr > thr[None, :], axis=1)
+                    xb = np.frombuffer(b"".join(pdf["qcode"]), np.uint8).reshape(
+                        len(pdf), -1
+                    )
+                    sim = -_POPCNT[qb ^ xb].sum(axis=1).astype(np.float64)
+                else:
+                    Qr = np.stack(pdf["q_emb"].to_numpy())
+                    Xa = _dequantize(pdf)
+                    sim = _space_sim_rowwise(Qr, Xa, space)
+                keep = nids != qids
+                if not keep.any():
+                    continue
+                q_embs = pdf["q_emb"].to_numpy()
+                qids, nids, sim = qids[keep], nids[keep], sim[keep]
+                q_embs = q_embs[keep]
+                order = np.lexsort((nids, -np.round(sim, 9), qids))
+                qids, nids, q_embs = qids[order], nids[order], q_embs[order]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], qids[1:] != qids[:-1]))
+                )
+                counts = np.diff(np.concatenate((starts, [qids.size])))
+                pos = np.arange(qids.size) - np.repeat(starts, counts)
+                kp = pos < k_traverse
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[kp],
+                        "neighbor_id": nids[kp],
+                        "q_emb": list(q_embs[kp]),
+                    }
+                )
+
+        cand = probes_df.join(data_q, "cell").mapInPandas(
+            approx_pairs, schema=cand_schema
+        )
+        # exact rescore: candidates join the full-precision column of the
+        # probed cells only (the semi-join against the probe fan-out keeps
+        # the pruning — candidates are inside probed cells by construction)
+        full_q = masked(
+            _read_paths(spark, quant_paths, ["vec_id", "embedding", "cell"])
+        ).join(
+            probes_df.select("cell").distinct(), "cell", "left_semi"
+        ).drop("cell")
+
+        def exact_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Qr = np.stack(pdf["q_emb"].to_numpy())
+                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].to_numpy(np.int64),
+                        "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                        "sim": _space_sim_rowwise(Qr, X, space),
+                    }
+                )
+
+        locals_.append(
+            cand.join(full_q.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+            .mapInPandas(exact_pairs, schema=_OUT_SCHEMA)
+        )
+
+    local = locals_[0]
+    for d in locals_[1:]:
+        local = local.unionByName(d)
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round(F.col("sim"), 9)), F.asc("neighbor_id")
     )

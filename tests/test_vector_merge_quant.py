@@ -379,6 +379,36 @@ def test_table_search_distributed_parity(spark, tmp_index):
     emb.unpersist()
 
 
+def test_table_search_quantized_two_tier(spark, tmp_path, tmp_index):
+    """Query-table search over quantized and MIXED indexes: the traversal
+    join reads the compressed column, the rerank joins back to full
+    precision — rank-identical to exact brute force under full probe for
+    int8, one-bit, and a mixed plain/quantized index."""
+    from pysearch.ops.vector_index import search_vector_index_table
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    qids = [1, 2, 3]
+    qdf = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rows)
+    exact = cosine_topk(emb, qids, k=10).collect()
+
+    for name, kw, rf in (
+        ("q_int8", dict(quantize=True), 4),
+        ("q_ob", dict(quantize=True, quant_kind="onebit"), 12),
+        ("q_mix", dict(quantize=True, min_quant_rows=250), 4),
+    ):
+        idx = str(tmp_path / name)
+        build_vector_index(spark, emb.where("vec_id < 400"), idx, nlist=8, seed=42, **kw)
+        append_vectors(spark, idx, emb.where("vec_id >= 400"), key="tail")
+        got = search_vector_index_table(
+            spark, idx, qdf, k=10, nprobe=8, rerank_factor=rf
+        ).collect()
+        assert key(got) == key(exact), name
+    emb.unpersist()
+
+
 def test_cli_vector_lifecycle(spark, tmp_path, tmp_index):
     """CLI surface: vector-build -> vector-delete -> vector-merge ->
     vector-search (query table), end to end through main()."""
