@@ -722,13 +722,16 @@ class SearchIndex:
         text_col: str = "text",
         k_col: str | None = None,
         filter_col: str | None = None,
+        min_score_col: str | None = None,
         default_k: int = 10,
         chunk: int = 10_000,
     ) -> DataFrame:
         """Batch retrieval driven by a QUERY TABLE — the offline-evaluation /
-        training-data-join surface: one row per query (id, text, optional k
-        and filter columns), returns (query_id, doc_id, score) for all of
-        them.
+        training-data-join surface: one row per query (id, text, optional k,
+        filter and min_score columns), returns (query_id, doc_id, score) for
+        all of them. A non-null `min_score` cell switches that row to RADIAL
+        mode (every hit at/above the threshold, unbounded — k ignored), the
+        same k-xor-min_score contract as Query.
 
         Scaling (the 10^6-10^7-query regime): query ANALYSIS is distributed —
         tokenization + phrase parsing run in one Arrow pass over the table
@@ -756,6 +759,11 @@ class SearchIndex:
             (F.col(filter_col) if filter_col else F.lit(None).cast("string")).alias(
                 "_f"
             ),
+            (
+                F.col(min_score_col).cast("double")
+                if min_score_col
+                else F.lit(None).cast("double")
+            ).alias("_ms"),
         )
 
         compile_schema = T.StructType(
@@ -765,6 +773,7 @@ class SearchIndex:
                 T.StructField("_phrases", T.StringType()),
                 T.StructField("_k", T.IntegerType()),
                 T.StructField("_f", T.StringType()),
+                T.StructField("_ms", T.DoubleType()),
             ]
         )
 
@@ -795,10 +804,10 @@ class SearchIndex:
                                     toks.append(t)
                         terms_out.append(toks)
                         phrases_out.append(_json.dumps(phrases))
-                    out = pdf[["_qid", "_k", "_f"]].copy()
+                    out = pdf[["_qid", "_k", "_f", "_ms"]].copy()
                     out["_terms"] = terms_out
                     out["_phrases"] = phrases_out
-                    yield out[["_qid", "_terms", "_phrases", "_k", "_f"]]
+                    yield out[["_qid", "_terms", "_phrases", "_k", "_f", "_ms"]]
 
             return compile_part
 
@@ -850,7 +859,8 @@ class SearchIndex:
             part = rows[lo : lo + chunk]
             qinfos, filter_exprs = [], []
             for i, r in enumerate(part):
-                if not (0 < int(r["_k"]) <= 10_000):
+                radial = r["_ms"] is not None
+                if not radial and not (0 < int(r["_k"]) <= 10_000):
                     # same contract as Query.validate(): surface the caller's
                     # bad k instead of silently returning zero hits
                     raise ValueError(
@@ -875,8 +885,10 @@ class SearchIndex:
                         "terms": terms,
                         "weights": {t: 1.0 for t in terms},
                         "phrases": phrases,
-                        "k": int(r["_k"]),
-                        "min_score": None,
+                        # radial rows are unbounded by contract (mirrors
+                        # Query's k-xor-min_score)
+                        "k": (1 << 40) if radial else int(r["_k"]),
+                        "min_score": float(r["_ms"]) if radial else None,
                         "has_filter": r["_f"] is not None,
                     }
                 )

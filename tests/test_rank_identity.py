@@ -213,6 +213,34 @@ def test_search_batch_table_parity(spark, built):
         ]
         assert sorted(by_q.get(qid, [])) == sorted(single), qid
 
+    # per-row RADIAL mode: a non-null min_score cell switches the row to the
+    # unbounded threshold contract, same as Query(min_score=...)
+    rdf = spark.createDataFrame(
+        [
+            (7, "license merge segment", None),
+            (8, "license import merge", 0.3),
+        ],
+        "query_id long, text string, ms double",
+    )
+    rout = si.search_batch_table(rdf, min_score_col="ms").collect()
+    by_r = {}
+    for r in rout:
+        by_r.setdefault(r["query_id"], set()).add(
+            (r["doc_id"], round(float(r["score"]), 6))
+        )
+    want_k = {
+        (r["doc_id"], round(float(r["score"]), 6))
+        for r in si.search(Query(text="license merge segment", k=10)).collect()
+    }
+    want_ms = {
+        (r["doc_id"], round(float(r["score"]), 6))
+        for r in si.search(
+            Query(text="license import merge", k=None, min_score=0.3)
+        ).collect()
+    }
+    assert by_r[7] == want_k
+    assert by_r[8] == want_ms and len(want_ms) > 10  # genuinely unbounded
+
 
 def test_big_index_identity_path_rank_identity(spark, built, monkeypatch):
     """The big-index identity path (driver cache disabled): isin-pruned
