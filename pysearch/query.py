@@ -723,15 +723,20 @@ class SearchIndex:
         k_col: str | None = None,
         filter_col: str | None = None,
         min_score_col: str | None = None,
+        fields_col: str | None = None,
         default_k: int = 10,
         chunk: int = 10_000,
     ) -> DataFrame:
         """Batch retrieval driven by a QUERY TABLE — the offline-evaluation /
         training-data-join surface: one row per query (id, text, optional k,
-        filter and min_score columns), returns (query_id, doc_id, score) for
-        all of them. A non-null `min_score` cell switches that row to RADIAL
-        mode (every hit at/above the threshold, unbounded — k ignored), the
-        same k-xor-min_score contract as Query.
+        filter, min_score and fields columns), returns (query_id, doc_id,
+        score) for all of them. A non-null `min_score` cell switches that
+        row to RADIAL mode (every hit at/above the threshold, unbounded — k
+        ignored), the same k-xor-min_score contract as Query. A non-null
+        `fields` cell (JSON object {"field": weight}) runs that row as a
+        weighted MULTI-FIELD query like Query.fields — field expansion
+        happens inside the distributed compile pass; prefix (*) terms are
+        not supported on fielded rows.
 
         Scaling (the 10^6-10^7-query regime): query ANALYSIS is distributed —
         tokenization + phrase parsing run in one Arrow pass over the table
@@ -764,32 +769,44 @@ class SearchIndex:
                 if min_score_col
                 else F.lit(None).cast("double")
             ).alias("_ms"),
+            (F.col(fields_col) if fields_col else F.lit(None).cast("string")).alias(
+                "_fl"
+            ),
         )
 
         compile_schema = T.StructType(
             [
                 T.StructField("_qid", id_field.dataType),
                 T.StructField("_terms", T.ArrayType(T.StringType())),
+                T.StructField("_weights", T.ArrayType(T.DoubleType())),
                 T.StructField("_phrases", T.StringType()),
                 T.StructField("_k", T.IntegerType()),
                 T.StructField("_f", T.StringType()),
                 T.StructField("_ms", T.DoubleType()),
             ]
         )
+        index_fields = tuple(self.index_fields)
+        primary_field = index_fields[0]
 
         def compile_factory(code_aware_: bool):
             def compile_part(batches):
                 from pysearch.analyze import tokenize_code_text, tokenize_text
+                from pysearch.build import term_key
                 from pysearch.query import parse_phrases
 
                 fn = tokenize_code_text if code_aware_ else tokenize_text
                 for pdf in batches:
-                    terms_out, phrases_out = [], []
-                    for txt in pdf["_text"]:
+                    terms_out, weights_out, phrases_out = [], [], []
+                    for txt, fl in zip(pdf["_text"], pdf["_fl"]):
                         rest, phrases = parse_phrases(txt or "", fn)
                         seen, toks = set(), []
                         for raw in rest.split():
                             if raw.endswith("*") and len(raw) > 1:
+                                if fl is not None:
+                                    raise ValueError(
+                                        "prefix (*) terms are not supported "
+                                        "on fielded query-table rows"
+                                    )
                                 base = fn(raw[:-1])
                                 if not base:
                                     continue
@@ -802,12 +819,41 @@ class SearchIndex:
                                 if t not in seen:
                                     seen.add(t)
                                     toks.append(t)
-                        terms_out.append(toks)
+                        if fl is not None:
+                            # field expansion IN the distributed pass — the
+                            # per-field term-key namespacing Query.fields does
+                            qf = _json.loads(fl)
+                            unknown = set(qf) - set(index_fields)
+                            if unknown or not qf:
+                                raise ValueError(
+                                    f"query fields {sorted(unknown)} not in "
+                                    f"index fields {list(index_fields)}"
+                                )
+                            if phrases and primary_field not in qf:
+                                raise ValueError(
+                                    "phrase queries match the primary field; "
+                                    "include it in fields"
+                                )
+                            keys, ws = [], []
+                            for f_ in sorted(qf):
+                                for t in toks:
+                                    kk = term_key(f_, t, primary_field)
+                                    if kk not in keys:
+                                        keys.append(kk)
+                                        ws.append(float(qf[f_]))
+                            terms_out.append(keys)
+                            weights_out.append(ws)
+                        else:
+                            terms_out.append(toks)
+                            weights_out.append([1.0] * len(toks))
                         phrases_out.append(_json.dumps(phrases))
                     out = pdf[["_qid", "_k", "_f", "_ms"]].copy()
                     out["_terms"] = terms_out
+                    out["_weights"] = weights_out
                     out["_phrases"] = phrases_out
-                    yield out[["_qid", "_terms", "_phrases", "_k", "_f", "_ms"]]
+                    yield out[
+                        ["_qid", "_terms", "_weights", "_phrases", "_k", "_f", "_ms"]
+                    ]
 
             return compile_part
 
@@ -853,7 +899,6 @@ class SearchIndex:
                 T.StructField("query_id", id_field.dataType),  # caller's id type
             ]
         )
-        avgdl = self.avgdl
         outs: list[DataFrame] = []
         for lo in range(0, len(rows), chunk):
             part = rows[lo : lo + chunk]
@@ -867,13 +912,16 @@ class SearchIndex:
                         f"query {r['_qid']!r}: k must be in (0, 10000], got {r['_k']}"
                     )
                 terms: list[str] = []
-                for t in r["_terms"]:
+                weights: dict[str, float] = {}
+                for t, w in zip(r["_terms"], r["_weights"]):
                     if t.endswith("*") and len(t) > 1:
-                        terms.extend(
-                            x for x in prefix_expansions.get(t[:-1], ()) if x not in terms
-                        )
-                    elif t not in terms:
+                        for x in prefix_expansions.get(t[:-1], ()):
+                            if x not in weights:
+                                terms.append(x)
+                                weights[x] = 1.0
+                    elif t not in weights:
                         terms.append(t)
+                        weights[t] = float(w)
                 phrases = _json.loads(r["_phrases"])
                 if phrases and not cfg.store_positions:
                     raise ValueError(
@@ -883,7 +931,7 @@ class SearchIndex:
                     {
                         "qid": i,
                         "terms": terms,
-                        "weights": {t: 1.0 for t in terms},
+                        "weights": weights,
                         "phrases": phrases,
                         # radial rows are unbounded by contract (mirrors
                         # Query's k-xor-min_score)
@@ -893,7 +941,17 @@ class SearchIndex:
                     }
                 )
                 filter_exprs.append(r["_f"])
-            avgdl_map = {t: avgdl for info in qinfos for t in info["terms"]}
+            # per-key avgdl: the field is recoverable from the term-key
+            # namespace prefix (primary-field keys carry no separator)
+            from pysearch.build import FIELD_SEP
+
+            avgdl_map = {
+                t: self.avgdl_fields[
+                    t.split(FIELD_SEP, 1)[0] if FIELD_SEP in t else self.index_fields[0]
+                ]
+                for info in qinfos
+                for t in info["terms"]
+            }
             res = self._execute_batch(
                 qinfos, filter_exprs, stats, avgdl_map, ordered=False
             )

@@ -127,6 +127,49 @@ def test_multifield_batch_parity(spark, mf_index):
         assert by_q.get(qid, []) == _got(si, q), f"batch/single diverge on q{qid}"
 
 
+def test_multifield_query_table(spark, mf_index):
+    """fields_col on the query-table surface: a JSON weights cell runs the
+    row as a weighted multi-field query, identical to Query.fields; mixed
+    with plain rows in one table."""
+    import json
+
+    si = SearchIndex(spark, mf_index)
+    qdf = spark.createDataFrame(
+        [
+            (1, "spark alpha", json.dumps({"content": 1.0, "title": 2.0})),
+            (2, "alpha spark", json.dumps({"title": 1.0})),
+            (3, "merge scan", None),
+        ],
+        "query_id long, text string, flds string",
+    )
+    out = si.search_batch_table(qdf, fields_col="flds", default_k=10)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(float(r["score"]), 6))
+        )
+    singles = {
+        1: Query(text="spark alpha", k=10, fields={"content": 1.0, "title": 2.0}),
+        2: Query(text="alpha spark", k=10, fields={"title": 1.0}),
+        3: Query(text="merge scan", k=10),
+    }
+    for qid, q in singles.items():
+        assert sorted(by_q.get(qid, [])) == sorted(_got(si, q)), qid
+    # unknown field and prefix-on-fielded-row are rejected
+    bad = spark.createDataFrame(
+        [(9, "spark", json.dumps({"nope": 1.0}))],
+        "query_id long, text string, flds string",
+    )
+    with pytest.raises(Exception):
+        si.search_batch_table(bad, fields_col="flds").collect()
+    bad2 = spark.createDataFrame(
+        [(9, "spa* merge", json.dumps({"title": 1.0}))],
+        "query_id long, text string, flds string",
+    )
+    with pytest.raises(Exception):
+        si.search_batch_table(bad2, fields_col="flds").collect()
+
+
 def test_unknown_field_rejected(spark, mf_index):
     si = SearchIndex(spark, mf_index)
     with pytest.raises(ValueError):
