@@ -141,6 +141,23 @@ def verify_vector_index(spark: SparkSession, index_dir: str) -> dict:
                 bad = cells.where(F.length("qcode") != want).count()
                 assert bad == 0, f"{seg}: {bad} malformed qcodes"
                 summary["quantized_segments"] += 1
+        if plain and quant:
+            # a mixed incrementally-merged segment could hide a duplicate id
+            # SPLIT across the plain and quantized tiers — the per-tier
+            # checks above can't see it, so assert uniqueness once over the
+            # union of both tiers' ids too
+            u = (
+                _read_paths(spark, meta._abs(plain), ["vec_id"])
+                .unionByName(_read_paths(spark, meta._abs(quant), ["vec_id"]))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.countDistinct("vec_id").alias("n_ids"),
+                )
+                .collect()[0]
+            )
+            assert u["n"] == u["n_ids"], (
+                f"{seg}: duplicate vec_ids across plain/quantized tiers"
+            )
         assert n_total == m["num_docs"], (
             f"{seg}: cells {n_total} != manifest {m['num_docs']}"
         )

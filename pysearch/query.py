@@ -87,6 +87,15 @@ MAX_FIRST_PASS_RESULTS = 10_000
 MIN_FIRST_PASS_RESULTS = 100
 _WIDTH_OVERSAMPLE = ((10, 1), (4, 2), (0, 3))  # (min_terms, factor)
 
+# filter-selectivity exact-search gate — the SECOND exact-search switch of
+# the reference (index.knn.advanced.filtered_exact_search_threshold,
+# KNNSettings.java:80 / docs/user_guide.md:1051): when a filter accepts
+# fewer docs than this in a segment, score just the accepted docs
+# brute-force (decoding only blocks whose id range intersects the accept
+# set) instead of running block-max traversal over the whole segment.
+# Override per query via Query.params["filtered_exact_search_threshold"].
+DEFAULT_FILTERED_EXACT_THRESHOLD = 2048
+
 
 def first_pass_k(final_k: int, oversample: int | None, n_terms: int, floor: int = 1) -> int:
     """RescoreContext.getFirstPassK analog: user-provided oversample wins;
@@ -439,6 +448,12 @@ class SearchIndex:
             approximate_threshold=cfg.approximate_threshold,
             bitmap_selectivity=cfg.filter_bitmap_selectivity,
             phrases=phrases,
+            filtered_exact_threshold=int(
+                query.params.get(
+                    "filtered_exact_search_threshold",
+                    DEFAULT_FILTERED_EXACT_THRESHOLD,
+                )
+            ),
         )
         candidates = (
             postings.groupBy("segment_id")
@@ -698,15 +713,11 @@ class SearchIndex:
             ranked = ranked.join(F.broadcast(k_df), "query_id").where(
                 F.col("rk") <= F.col("_qk")
             )
-        # min_score post-filters (already pre-pruned in-kernel)
-        ms = [i for i in qinfos if i["min_score"] is not None]
-        if ms:
-            cond = F.lit(True)
-            for i in ms:
-                cond = cond & (
-                    (F.col("query_id") != i["qid"]) | (F.col("score") >= i["min_score"])
-                )
-            ranked = ranked.where(cond)
+        # no driver-side min_score post-filter: the batch kernel applies each
+        # radial row's threshold EXACTLY (TAAT scores are complete per
+        # segment and docs live in one segment), and a per-query AND chain
+        # here would grow the Catalyst expression tree linearly with the
+        # radial-row count (plan/codegen blowup at 10^4+ rows per chunk)
         if ordered:
             return (
                 ranked.select("query_id", "doc_id", "score", "rk")
@@ -889,10 +900,21 @@ class SearchIndex:
             )
             stats = {r["term"]: int(r["df"]) for r in rows}
 
-        # compact compiled rows to the driver (terms + k + filter — never the
-        # raw text), then chunked kernel dispatch
-        rows = compiled_df.collect()
-        compiled_df.unpersist()
+        # STREAMED dispatch: chunk membership is assigned DISTRIBUTED
+        # (hash(qid) mod n_chunks over the cached compile output) and the
+        # driver collects ONE chunk of compact compiled rows at a time —
+        # peak driver memory is O(chunk), not O(query count), at the
+        # 10^6-10^7-query regime (neither the texts NOR the full compiled
+        # table ever sit on the driver; `last_batch_table_stats` records the
+        # observed peak and is guarded in tests/test_batch_table_scale.py)
+        n_queries = compiled_df.count()
+        n_chunks = max(1, -(-n_queries // chunk))
+        chunked = compiled_df.withColumn(
+            "_chunk",
+            F.pmod(
+                F.xxhash64(F.col("_qid").cast("string")), F.lit(n_chunks)
+            ).cast("int"),
+        )
         id_map_schema = T.StructType(
             [
                 T.StructField("q_pos", T.LongType()),
@@ -900,8 +922,12 @@ class SearchIndex:
             ]
         )
         outs: list[DataFrame] = []
-        for lo in range(0, len(rows), chunk):
-            part = rows[lo : lo + chunk]
+        max_chunk_rows = 0
+        for c in range(n_chunks):
+            part = chunked.where(F.col("_chunk") == c).drop("_chunk").collect()
+            if not part:
+                continue
+            max_chunk_rows = max(max_chunk_rows, len(part))
             qinfos, filter_exprs = [], []
             for i, r in enumerate(part):
                 radial = r["_ms"] is not None
@@ -963,6 +989,14 @@ class SearchIndex:
                 .join(F.broadcast(id_map), "q_pos")
                 .select("query_id", "doc_id", "score")
             )
+        compiled_df.unpersist()
+        # observability + test guard: the driver never held more than one
+        # chunk of compiled rows at a time
+        self.last_batch_table_stats = {
+            "n_queries": int(n_queries),
+            "n_chunks": int(n_chunks),
+            "max_chunk_rows": int(max_chunk_rows),
+        }
         if not outs:
             empty_schema = T.StructType(
                 [
@@ -1232,6 +1266,7 @@ def _segment_search_factory(
     approximate_threshold: int,
     bitmap_selectivity: float,
     phrases: list[list[str]] | None = None,
+    filtered_exact_threshold: int = DEFAULT_FILTERED_EXACT_THRESHOLD,
 ):
     phrases = phrases or []
 
@@ -1254,8 +1289,18 @@ def _segment_search_factory(
         # exact-vs-approx switch (approximate_threshold analog, Q8): tiny
         # segments are scored brute-force — all terms essential, no skipping
         brute = seg_docs.get(seg, 0) < approximate_threshold
+        # SECOND exact gate (filtered_exact_search_threshold analog,
+        # KNNSettings.java:80): a highly selective accept set switches to
+        # brute-force over the accepted docs — only blocks whose id range
+        # intersects the accept set are decoded, so a 10-doc filter on a
+        # 10M-doc segment touches ~10 blocks instead of walking MaxScore
+        filtered_exact = (
+            not brute and allow is not None
+            and allow.size < filtered_exact_threshold
+        )
         ids, scores, scanned, skipped = _blockmax_maxscore(
-            blocks, idf_map, k1, b, avgdl_map, k, min_score, allow, deny, brute
+            blocks, idf_map, k1, b, avgdl_map, k, min_score, allow, deny,
+            brute or filtered_exact, allow_prune=filtered_exact,
         )
         if min_score is not None and ids.size:
             keep = scores >= min_score
@@ -1265,7 +1310,11 @@ def _segment_search_factory(
         if k_keep is not None:
             order = order[: min(k_keep, order.size)]
         ids, scores = ids[order], scores[order]
-        strategy = "taat" if brute else "block_max_maxscore"
+        strategy = (
+            "taat_filtered"
+            if filtered_exact
+            else ("taat" if brute else "block_max_maxscore")
+        )
         out = pd.DataFrame(
             {
                 "doc_id": np.concatenate((ids, [-1])),
@@ -1391,6 +1440,7 @@ def _blockmax_maxscore(
     allow: np.ndarray | None,
     deny: np.ndarray | None,
     brute: bool,
+    allow_prune: bool = False,
 ):
     """idf_map values carry the query-time field weight folded in; avgdl_map
     gives each (possibly field-namespaced) term its FIELD's avgdl, so a
@@ -1431,7 +1481,14 @@ def _blockmax_maxscore(
         firsts = g["first_id"].to_numpy(dtype=np.int64)
         lasts = g["last_id"].to_numpy(dtype=np.int64)
         ns = g["n"].to_numpy(dtype=np.int64)
-        if essential:
+        if allow_prune:
+            # filtered-exact mode: every term is essential, but only blocks
+            # whose [first_id, last_id] range contains an ACCEPTED doc are
+            # decoded at all — the accept set drives the scan, not θ
+            lo = np.searchsorted(allow, firsts, side="left")
+            hi = np.searchsorted(allow, lasts, side="right")
+            sel = hi > lo
+        elif essential:
             sel = np.ones(len(g), dtype=bool)
         else:
             # completion phase: only blocks that contain a candidate matter

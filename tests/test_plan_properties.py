@@ -69,3 +69,60 @@ def test_search_runs_as_single_action(spark, si):
     # kernel pipeline under AQE = a handful of stage-jobs; the old two-action
     # path added 3+ more — guard the ceiling
     assert 0 < len(jobs) <= 5, f"search() submitted {len(jobs)} jobs"
+
+
+@pytest.fixture(scope="module")
+def si_big_seg(spark, tmp_path_factory):
+    """One segment big enough (600 docs, approximate_threshold=64) that the
+    normal strategy is block_max_maxscore, with small blocks so block-level
+    pruning is visible in the metrics."""
+    idx = str(tmp_path_factory.mktemp("fex_idx"))
+    build_index(
+        spark,
+        generate_repo_files(spark, 600, seed=11),
+        idx,
+        IndexConfig(
+            segment_rows=5000, term_buckets=4, block_size=16,
+            approximate_threshold=64,
+        ),
+    )
+    return SearchIndex(spark, idx)
+
+
+def test_filtered_exact_search_switch(si_big_seg):
+    """The second exact-search gate (filtered_exact_search_threshold analog,
+    KNNSettings.java:80): a ~1%-selectivity filter flips the segment to
+    brute-force over the accepted docs — strategy 'taat_filtered', decoding
+    ONLY blocks whose id range contains an accepted doc — and returns
+    exactly the same hits as the block-max path."""
+    si = si_big_seg
+    filt = "doc_id IN (3, 77, 205, 411, 599)"
+    fast_hits, fast_m = si.search(
+        Query(text="license merge import", k=5, filter_expr=filt),
+        with_metrics=True,
+    )
+    slow_hits, slow_m = si.search(
+        Query(
+            text="license merge import", k=5, filter_expr=filt,
+            params={"filtered_exact_search_threshold": 0},
+        ),
+        with_metrics=True,
+    )
+    fm, sm = fast_m.collect(), slow_m.collect()
+    assert fm and {r["strategy"] for r in fm} == {"taat_filtered"}
+    assert {r["strategy"] for r in sm} == {"block_max_maxscore"}
+    scanned_fast = sum(r["blocks_scanned"] for r in fm)
+    scanned_slow = sum(r["blocks_scanned"] for r in sm)
+    assert scanned_fast < scanned_slow, (scanned_fast, scanned_slow)
+
+    key = lambda rows: [(r["doc_id"], round(float(r["score"]), 9)) for r in rows]
+    assert key(fast_hits.collect()) == key(slow_hits.collect())
+
+
+def test_filtered_exact_leaves_unfiltered_alone(si_big_seg):
+    """No filter -> the selectivity gate never fires (big segment stays on
+    block-max)."""
+    _, m = si_big_seg.search(
+        Query(text="license merge", k=5), with_metrics=True
+    )
+    assert {r["strategy"] for r in m.collect()} == {"block_max_maxscore"}
