@@ -50,6 +50,11 @@ from pysearch.build import (
 from pysearch.checkpoint import IndexMeta, read_parquet_union
 from pysearch.config import IndexConfig
 
+# auto-merge bound on storage-pointer fan-out: once an incremental merge
+# would leave a manifest pointing at more than this many data directories,
+# the auto policy compacts instead (explicit compact=False is still honored)
+MAX_INCREMENTAL_POINTERS = 16
+
 _POSTING_ROW_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
@@ -149,6 +154,17 @@ def merge_segments(
         # density guard (JVectorWriter.java:695-699 analog): too many
         # tombstones -> incremental merge is not worth it, rebuild instead
         compact = density > config.max_tombstone_density
+        if not compact:
+            # pointer-growth guard: chained incremental merges flatten input
+            # pointers transitively, so N auto rounds would yield a manifest
+            # referencing N directories (N list/open calls per query). Past
+            # the cap the auto policy forces a real compaction — the missing
+            # half of the tiered policy (the reference bounds this by making
+            # its merge policy force real merges,
+            # ForceMergesOnlyMergePolicy.java:34-61). Explicit
+            # compact=False still honors the caller (pure metadata).
+            pointers = sum(len(meta.storage_rel(s, "postings")) for s in seg_ids)
+            compact = pointers > MAX_INCREMENTAL_POINTERS
 
     digest = hashlib.sha1(
         ("|".join(seg_ids) + f"|compact={compact}").encode()

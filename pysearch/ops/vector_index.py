@@ -529,6 +529,18 @@ def merge_vector_index(
         n_dead = dead_here.count()
     if compact is None:
         compact = (n_dead / total if total else 0.0) > max_tombstone_density
+        if not compact:
+            # pointer-growth guard (merge.MAX_INCREMENTAL_POINTERS twin):
+            # chained incremental merges flatten pointers transitively; past
+            # the cap the auto policy compacts so a manifest never fans out
+            # to unbounded directories
+            from pysearch.merge import MAX_INCREMENTAL_POINTERS
+
+            pointers = 0
+            for s in inputs:
+                p, q = _cells_rel_split(meta, s)
+                pointers += len(p) + len(q)
+            compact = pointers > MAX_INCREMENTAL_POINTERS
 
     new_seg = seg_name(compact)
     key = f"merge_{new_seg}"
@@ -672,15 +684,24 @@ def _read_cells(
 # search
 # ---------------------------------------------------------------------------
 
+# queries scored per executor-batch slice: bounds the (queries x batch)
+# similarity matrix — and the onebit (queries x batch x dim/8) XOR tensor —
+# to _QUERY_CHUNK rows regardless of how many queries the caller passes, so
+# a 10^4+-entry driver list degrades gracefully instead of OOMing a worker
+_QUERY_CHUNK = 1024
+
+
 def _topk_kernel_factory(bq, space: str, k_out: int, quantized):
-    """Per-batch vectorized top-k over ALL queries at once: one similarity
-    matrix, one probe-membership mask indexed by cell (no per-query Python
-    loop), one argpartition along axis 1. `quantized` is False (score exact
-    floats), "int8" (score dequantized approximations) or "onebit" (score
-    negative hamming over packed bit codes — 1 bit/dim scanned)."""
+    """Per-batch vectorized top-k: one similarity matrix per QUERY SLICE
+    (<= _QUERY_CHUNK queries at a time), one probe-membership mask indexed
+    by cell (no per-query Python loop), one argpartition along axis 1.
+    `quantized` is False (score exact floats), "int8" (score dequantized
+    approximations) or "onebit" (score negative hamming over packed bit
+    codes — 1 bit/dim scanned)."""
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_, Q_, probe_mask, qbits = bq.value  # probe_mask: (nq, nlist)
+        nq = qids_.size
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -690,25 +711,42 @@ def _topk_kernel_factory(bq, space: str, k_out: int, quantized):
                 codes = np.frombuffer(b"".join(pdf["qcode"]), np.uint8).reshape(
                     len(pdf), -1
                 )
-                xor = qbits[:, None, :] ^ codes[None, :, :]
-                S = -_POPCNT[xor].sum(axis=2).astype(np.float64)
+                X = None
             else:
+                codes = None
                 X = _dequantize(pdf) if quantized else np.stack(
                     pdf["embedding"].to_numpy()
                 ).astype(np.float64)
-                S = _space_similarities(Q_, X, space)
-            mask = probe_mask[:, cell] & (ids[None, :] != qids_[:, None])
-            S = np.where(mask, S, -np.inf)
-            kk = min(k_out, S.shape[1])
-            part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-            out = pd.DataFrame(
+            parts = []
+            for q0 in range(0, nq, _QUERY_CHUNK):
+                q1 = min(q0 + _QUERY_CHUNK, nq)
+                if codes is not None:
+                    xor = qbits[q0:q1, None, :] ^ codes[None, :, :]
+                    S = -_POPCNT[xor].sum(axis=2).astype(np.float64)
+                else:
+                    S = _space_similarities(Q_[q0:q1], X, space)
+                mask = probe_mask[q0:q1][:, cell] & (
+                    ids[None, :] != qids_[q0:q1, None]
+                )
+                S = np.where(mask, S, -np.inf)
+                kk = min(k_out, S.shape[1])
+                part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+                sims = np.take_along_axis(S, part, axis=1).ravel()
+                fin = np.isfinite(sims)
+                parts.append(
+                    (
+                        np.repeat(qids_[q0:q1], kk)[fin],
+                        ids[part.ravel()][fin],
+                        sims[fin],
+                    )
+                )
+            yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(qids_, kk),
-                    "neighbor_id": ids[part.ravel()],
-                    "sim": np.take_along_axis(S, part, axis=1).ravel(),
+                    "query_id": np.concatenate([p[0] for p in parts]),
+                    "neighbor_id": np.concatenate([p[1] for p in parts]),
+                    "sim": np.concatenate([p[2] for p in parts]),
                 }
             )
-            yield out[np.isfinite(out["sim"])]
 
     return score
 
@@ -741,6 +779,26 @@ _OUT_SCHEMA = T.StructType(
 )
 
 
+def _radial_threshold(
+    space: str, min_sim: float | None, max_distance: float | None
+) -> float | None:
+    """The reference's radial contract (KNNQueryBuilder.java:440-474):
+    exactly one of min_sim | max_distance, with the distance converted to
+    the engine's raw-similarity scale per space (cosine distance = 1-cos;
+    l2 sim = -d^2; l1/linf sim = -d; innerproduct has no distance form)."""
+    if min_sim is not None and max_distance is not None:
+        raise ValueError("set at most one of min_sim | max_distance")
+    if max_distance is None:
+        return min_sim
+    if space == "cosinesimil":
+        return 1.0 - max_distance
+    if space == "l2":
+        return -(max_distance ** 2)
+    if space in ("l1", "linf"):
+        return -max_distance
+    raise ValueError("max_distance is undefined for innerproduct; use min_sim")
+
+
 def search_vector_index(
     spark: SparkSession,
     index_dir: str,
@@ -759,8 +817,14 @@ def search_vector_index(
     the plan). Quantized indexes run a two-tier plan: approximate traversal
     over the compressed column (full-precision bytes never read), then exact
     rerank of the per-batch top-(k*rerank_factor) candidates against the
-    full-precision column. Returns (query_id, neighbor_id, cosine, rank).
-    `space` defaults to the index's build-time space.
+    full-precision column. Rerank scores are exact, so results equal the
+    full-precision ranking WHENEVER the true top-k survives the approximate
+    k*rerank_factor cut — recall is governed by `rerank_factor`, the
+    reference's overquery trade (KNNConstants.java:90 rescore/oversample):
+    raising it widens the candidate superset and can only improve recall
+    (tests/test_vector_merge_quant.py exercises a case where it provably
+    does). Returns (query_id, neighbor_id, cosine, rank). `space` defaults
+    to the index's build-time space.
 
     RADIAL mode (the reference's max_distance | min_score contract,
     KNNQueryBuilder.java:64-81 / RadialQuery): set `min_sim` (raw-similarity
@@ -772,19 +836,7 @@ def search_vector_index(
     meta = IndexMeta(index_dir)
     cfg = meta.load_config()
     space = space or cfg.extra.get("space", "cosinesimil")
-    if min_sim is not None and max_distance is not None:
-        raise ValueError("set at most one of min_sim | max_distance")
-    if max_distance is not None:
-        if space == "cosinesimil":
-            min_sim = 1.0 - max_distance  # cosine distance = 1 - cos
-        elif space == "l2":
-            min_sim = -(max_distance ** 2)  # sim = -d^2
-        elif space in ("l1", "linf"):
-            min_sim = -max_distance
-        else:
-            raise ValueError(
-                "max_distance is undefined for innerproduct; use min_sim"
-            )
+    min_sim = _radial_threshold(space, min_sim, max_distance)
     C = _load_centroids(index_dir)
     qids = np.array([q[0] for q in queries], dtype=np.int64)
     Q = np.array([q[1] for q in queries], dtype=np.float64)
@@ -829,28 +881,33 @@ def search_vector_index(
 
         def radial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             qids_, Q_, pmask = brad.value
+            nq = qids_.size
             for pdf in batches:
                 if not len(pdf):
                     continue
                 X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
                 ids = pdf["vec_id"].to_numpy(np.int64)
                 cell = pdf["cell"].to_numpy(np.int64)
-                S = _space_similarities(Q_, X, space)
-                hit = (
-                    pmask[:, cell]
-                    & (ids[None, :] != qids_[:, None])
-                    & (S >= thr_v)
-                )
-                qi, xi = np.nonzero(hit)
-                if not qi.size:
-                    continue
-                yield pd.DataFrame(
-                    {
-                        "query_id": qids_[qi],
-                        "neighbor_id": ids[xi],
-                        "sim": S[qi, xi],
-                    }
-                )
+                # query-sliced like _topk_kernel_factory: bounds the
+                # similarity matrix at _QUERY_CHUNK x batch for any list size
+                for q0 in range(0, nq, _QUERY_CHUNK):
+                    q1 = min(q0 + _QUERY_CHUNK, nq)
+                    S = _space_similarities(Q_[q0:q1], X, space)
+                    hit = (
+                        pmask[q0:q1][:, cell]
+                        & (ids[None, :] != qids_[q0:q1, None])
+                        & (S >= thr_v)
+                    )
+                    qi, xi = np.nonzero(hit)
+                    if not qi.size:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qids_[q0:q1][qi],
+                            "neighbor_id": ids[xi],
+                            "sim": S[qi, xi],
+                        }
+                    )
 
         data_all = restricted(
             _read_paths(
@@ -942,6 +999,22 @@ def search_vector_index(
     )
 
 
+# at most ONE persisted probe fan-out is retained across calls: each
+# search_vector_index_table invocation releases the previous call's cache,
+# so long-lived sessions (server, bench loops, offline sweeps) don't
+# accumulate cached blocks until session end
+_PROBE_CACHE: list = []
+
+
+def _swap_probe_cache(df: DataFrame) -> None:
+    while _PROBE_CACHE:
+        try:
+            _PROBE_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    _PROBE_CACHE.append(df)
+
+
 def search_vector_index_table(
     spark: SparkSession,
     index_dir: str,
@@ -952,6 +1025,11 @@ def search_vector_index_table(
     vec: str = "embedding",
     space: str | None = None,
     rerank_factor: int = 4,
+    allow_ids: "list[int] | DataFrame | None" = None,
+    min_sim: float | None = None,
+    max_distance: float | None = None,
+    nprobe_col: str | None = None,
+    rerank_factor_col: str | None = None,
 ) -> DataFrame:
     """Query-TABLE vector search — the offline-evaluation / training-data
     regime (10^6+ query vectors), fully distributed: query embeddings never
@@ -965,69 +1043,174 @@ def search_vector_index_table(
     the compressed column only (int8 1 byte/dim or one-bit 1 bit/dim), then
     the per-batch top-(k*rerank_factor) candidates join back to the
     full-precision column of the probed cells for exact rescoring. Returns
-    (query_id, neighbor_id, cosine, rank)."""
+    (query_id, neighbor_id, cosine, rank).
+
+    Filtered search (the accept-set contract, JVectorReader.java:154-164 /
+    KNNQueryBuilder.java:536-541): `allow_ids` — an id DataFrame or list —
+    restricts candidates via a distributed semi-join (ids never ride the
+    plan as literals), same as the driver-list path.
+
+    RADIAL mode (KNNQueryBuilder.java:440-474): set `min_sim` or
+    `max_distance` (converted per space) and EVERY neighbor of every query
+    at/above the threshold within the probed cells is returned, unbounded —
+    `k` and the quantized tier are bypassed (thresholds cannot be proven
+    against lossy codes, so radial always scores full precision).
+
+    Per-row method parameters (the method_parameters analog,
+    KNNQueryBuilder.java:71-76,241-258): `nprobe_col` / `rerank_factor_col`
+    name integer columns of `queries_df` overriding the per-call defaults
+    row by row — a table mixing easy and hard queries widens its probe /
+    rerank budget only where needed. Nulls fall back to the defaults."""
     meta = IndexMeta(index_dir)
     cfg = meta.load_config()
     space = space or cfg.extra.get("space", "cosinesimil")
+    min_sim = _radial_threshold(space, min_sim, max_distance)
+    radial = min_sim is not None
     C = _load_centroids(index_dir)
     bC = spark.sparkContext.broadcast(C)
-    nprobe = min(nprobe, C.shape[0])
+    nlist = C.shape[0]
+    nprobe = min(nprobe, nlist)
 
     probe_schema = T.StructType(
         [
             T.StructField("query_id", T.LongType()),
             T.StructField("q_emb", T.ArrayType(T.DoubleType())),
             T.StructField("cell", T.IntegerType()),
+            # per-row rerank budget (k * rerank_factor, floored) rides the
+            # fan-out so the approximate cut can vary per query
+            T.StructField("_kt", T.IntegerType()),
         ]
     )
+    qcols = [id_col, vec] + (
+        [nprobe_col] if nprobe_col else []
+    ) + ([rerank_factor_col] if rerank_factor_col else [])
 
     def assign_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Cv = bC.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            Q = np.stack(pdf[vec].to_numpy()).astype(np.float64)
-            probes = np.argsort(-_space_similarities(Q, Cv, space), axis=1)[:, :nprobe]
             n = len(pdf)
+            Q = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+            order = np.argsort(-_space_similarities(Q, Cv, space), axis=1)
+            if nprobe_col:
+                npb = (
+                    pdf[nprobe_col].fillna(nprobe).to_numpy(np.int64)
+                    .clip(1, nlist)
+                )
+            else:
+                npb = np.full(n, nprobe, dtype=np.int64)
+            if rerank_factor_col:
+                rf = pdf[rerank_factor_col].fillna(rerank_factor).to_numpy(
+                    np.int64
+                ).clip(1, None)
+            else:
+                rf = np.full(n, rerank_factor, dtype=np.int64)
+            kt = np.maximum(k * rf, 50)
+            # vectorized variable-width probe take: row-major ravel of the
+            # first npb[i] columns of each row's cell order
+            mask = np.arange(nlist)[None, :] < npb[:, None]
+            reps = np.repeat(np.arange(n), npb)
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(pdf[id_col].to_numpy(np.int64), nprobe),
-                    "q_emb": [
-                        Q[i] for i in np.repeat(np.arange(n), nprobe)
-                    ],
-                    "cell": probes.ravel().astype(np.int32),
+                    "query_id": pdf[id_col].to_numpy(np.int64)[reps],
+                    "q_emb": [Q[i] for i in reps],
+                    "cell": order[mask].astype(np.int32),
+                    "_kt": kt[reps].astype(np.int32),
                 }
             )
 
-    probes_df = queries_df.select(id_col, vec).mapInPandas(
+    probes_df = queries_df.select(*qcols).mapInPandas(
         assign_probes, schema=probe_schema
     )
 
     live = _live_vector_segments(meta)
     plain_paths, quant_paths = _cells_paths_split(meta, live)
-    if quant_paths:
+    if quant_paths and not radial:
         # the probe fan-out feeds the quant join, the rerank cell semi-join
         # (and possibly the plain join) — persist so the assign pass over
-        # the query table runs once
+        # the query table runs once. The previous call's persisted fan-out
+        # (if any) is released here: long-lived sessions (server, bench
+        # loops) hold at most ONE probe cache at a time.
         probes_df = probes_df.persist()
+        _swap_probe_cache(probes_df)
     dead = meta.tombstones_df(spark)
+    allow_df = None
+    if allow_ids is not None:
+        # accept-set as a distributed semi-join — never literals in the plan
+        if isinstance(allow_ids, DataFrame):
+            allow_df = allow_ids.select(F.col("vec_id").cast("long"))
+        else:
+            allow_df = spark.createDataFrame(
+                [(int(i),) for i in allow_ids], "vec_id long"
+            )
 
     def masked(data: DataFrame) -> DataFrame:
         if dead is not None:
             data = data.join(
                 dead.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
             )
+        if allow_df is not None:
+            data = data.join(allow_df, "vec_id", "left_semi")
         return data
 
+    if radial:
+        # exact full-precision scan of the probed cells of EVERY tier; all
+        # hits >= threshold kept (unbounded by contract — no per-batch or
+        # global truncation, no quantized traversal)
+        thr_v = float(min_sim)
+
+        def radial_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Qr = np.stack(pdf["q_emb"].to_numpy())
+                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                qids = pdf["query_id"].to_numpy(np.int64)
+                nids = pdf["vec_id"].to_numpy(np.int64)
+                sim = _space_sim_rowwise(Qr, X, space)
+                keep = (nids != qids) & (sim >= thr_v)
+                if not keep.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "query_id": qids[keep],
+                        "neighbor_id": nids[keep],
+                        "sim": sim[keep],
+                    }
+                )
+
+        data_all = masked(
+            _read_paths(
+                spark, plain_paths + quant_paths, ["vec_id", "embedding", "cell"]
+            )
+        )
+        local = probes_df.drop("_kt").join(data_all, "cell").mapInPandas(
+            radial_pairs, schema=_OUT_SCHEMA
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round(F.col("sim"), 9)), F.asc("neighbor_id")
+        )
+        return local.withColumn("rank", F.row_number().over(w)).select(
+            "query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rank"
+        )
+
     def _group_cut(qids, nids, sim, kk):
-        """Per-batch per-query top-kk cut (lossless superset; +8 slack for
-        np.round half-even vs JVM half-up at the boundary)."""
-        order = np.lexsort((nids, -np.round(sim, 9), qids))
-        qids, nids, sim = qids[order], nids[order], sim[order]
+        """Per-batch per-query cut: keep every row whose half-up-quantized
+        score (floor(sim*1e9+0.5) — the same rounding the global window
+        ranks by) is within ONE quantum of the per-query kk-th best. This is
+        the tie-inclusive THRESHOLD form the text batch kernel uses — a
+        provable superset of the per-query top-kk under the window's rounded
+        ordering, with no fixed positional-slack assumption (a positional
+        cut could drop a global-top-k row if >slack rounding-boundary ties
+        landed in one batch)."""
+        r = np.floor(sim * 1e9 + 0.5)
+        order = np.lexsort((nids, -r, qids))
+        qids, nids, sim, r = qids[order], nids[order], sim[order], r[order]
         starts = np.flatnonzero(np.concatenate(([True], qids[1:] != qids[:-1])))
         counts = np.diff(np.concatenate((starts, [qids.size])))
-        pos = np.arange(qids.size) - np.repeat(starts, counts)
-        keep = pos < kk + 8
+        kth = np.repeat(r[starts + np.minimum(kk - 1, counts - 1)], counts)
+        keep = r >= kth - 1.0
         return qids[keep], nids[keep], sim[keep], keep
 
     def score_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1052,7 +1235,9 @@ def search_vector_index_table(
     if plain_paths:
         data_f = masked(_read_paths(spark, plain_paths, ["vec_id", "embedding", "cell"]))
         locals_.append(
-            probes_df.join(data_f, "cell").mapInPandas(score_pairs, schema=_OUT_SCHEMA)
+            probes_df.drop("_kt")
+            .join(data_f, "cell")
+            .mapInPandas(score_pairs, schema=_OUT_SCHEMA)
         )
     if quant_paths:
         quant_kind = cfg.extra.get("quant_kind", "int8")
@@ -1066,7 +1251,6 @@ def search_vector_index_table(
             else ["vec_id", "cell", "qcode", "qlo", "qstep"]
         )
         data_q = masked(_read_paths(spark, quant_paths, quant_cols))
-        k_traverse = max(k * rerank_factor, 50)
         cand_schema = T.StructType(
             [
                 T.StructField("query_id", T.LongType()),
@@ -1097,16 +1281,21 @@ def search_vector_index_table(
                 if not keep.any():
                     continue
                 q_embs = pdf["q_emb"].to_numpy()
+                # per-row rerank budget (method_parameters analog): _kt is
+                # constant within a query, so the cut below can vary by row
+                kt = pdf["_kt"].to_numpy(np.int64)
                 qids, nids, sim = qids[keep], nids[keep], sim[keep]
-                q_embs = q_embs[keep]
+                q_embs, kt = q_embs[keep], kt[keep]
                 order = np.lexsort((nids, -np.round(sim, 9), qids))
-                qids, nids, q_embs = qids[order], nids[order], q_embs[order]
+                qids, nids, q_embs, kt = (
+                    qids[order], nids[order], q_embs[order], kt[order]
+                )
                 starts = np.flatnonzero(
                     np.concatenate(([True], qids[1:] != qids[:-1]))
                 )
                 counts = np.diff(np.concatenate((starts, [qids.size])))
                 pos = np.arange(qids.size) - np.repeat(starts, counts)
-                kp = pos < k_traverse
+                kp = pos < kt
                 yield pd.DataFrame(
                     {
                         "query_id": qids[kp],
