@@ -238,6 +238,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_filtered"] = lambda s, d: _search(
         s, d, Query(text=Q_FILTERED, k=10, filter_expr="lang = 'de'")
     )
+
+    # ---- filter-selectivity exact switch (the SECOND exact gate,
+    # KNNSettings.java:80 filtered_exact_search_threshold analog): a ~1%
+    # filter flips every segment to brute-force over the accept set —
+    # machine-checked via the metrics strategy, oracle-identical results ----
+    def filtered_selective(s, d):
+        idx = _ensure_index(s, d)
+        hits, m = _searcher(s, idx).search(
+            Query(text=Q_FILTERED, k=10, filter_expr="doc_id % 97 = 0"),
+            with_metrics=True,
+        )
+        strategies = {r["strategy"] for r in m.collect()}
+        assert strategies == {"taat_filtered"}, strategies
+        return hits.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round(F.col("score"), 4).alias("score"),
+        )
+
+    q["bm25_filtered_selective"] = filtered_selective
     q["bm25_min_score"] = lambda s, d: _search(
         s, d, Query(text=Q_MINSCORE, k=None, min_score=0.35)
     )
@@ -646,6 +665,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_table_search"] = ivf_table
 
+    # ---- filtered query-TABLE vector search: accept set as an id-DataFrame
+    # semi-join on the distributed table path (JVectorReader.java:154-164 /
+    # KNNQueryBuilder.java:536-541 analog); exact tier, so the oracle applies
+    def ivf_table_filtered(s, d):
+        from pysearch.ops.vector_index import (
+            build_vector_index,
+            search_vector_index_table,
+        )
+
+        idx = _index_dir(d, "ivf5")
+        emb = _emb(s, d)
+        build_vector_index(s, emb, idx, nlist=8, seed=42)
+        qdf = emb.where("vec_id < 4").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        allow = emb.where("vec_id % 2 = 0").select("vec_id")
+        out = search_vector_index_table(
+            s, idx, qdf, k=10, nprobe=8, allow_ids=allow
+        )
+        return out.select("query_id", "neighbor_id", "rank")
+
+    q["ann_ivf_table_filtered"] = ivf_table_filtered
+
+    # ---- radial query-TABLE vector search: threshold mode on the
+    # distributed table path (KNNQueryBuilder.java:440-474), unbounded,
+    # always exact-tier; full probe -> the DuckDB oracle applies ------------
+    def ivf_table_radial(s, d):
+        from pysearch.ops.vector_index import (
+            build_vector_index,
+            search_vector_index_table,
+        )
+
+        idx = _index_dir(d, "ivf5")
+        emb = _emb(s, d)
+        build_vector_index(s, emb, idx, nlist=8, seed=42)
+        qdf = emb.where("vec_id < 4").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = search_vector_index_table(s, idx, qdf, nprobe=8, min_sim=0.35)
+        return out.select("query_id", "neighbor_id", "rank")
+
+    q["ann_ivf_table_radial"] = ivf_table_radial
+
     # ---- additional similarity spaces (SpaceType.java:43-160) -------------
     q["ann_l2_topk"] = lambda s, d: similarity.similarity_topk(
         _emb(s, d), ANN_QUERY_IDS, k=10, space="l2"
@@ -743,6 +805,9 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_topk_multi"] = _bm25_sql(toks(Q_MULTI), 10)
     o["bm25_topk_k100"] = _bm25_sql(toks(Q_K100), 100)
     o["bm25_filtered"] = _bm25_sql(toks(Q_FILTERED), 10, filter_sql="d.lang = 'de'")
+    o["bm25_filtered_selective"] = _bm25_sql(
+        toks(Q_FILTERED), 10, filter_sql="d.doc_id % 97 = 0"
+    )
     o["bm25_min_score"] = _bm25_sql(toks(Q_MINSCORE), None, min_score=0.35)
     o["bm25_after_force_merge"] = _bm25_sql(toks(Q_MULTI), 10)
     o["bm25_after_delete_compact"] = _bm25_sql(
@@ -1067,6 +1132,34 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
   WHERE q.vec_id < 6
 ) WHERE rank <= 10
+"""
+    # filtered table search: accept set = even ids; exact tier + full probe
+    o["ann_ivf_table_filtered"] = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding, x.embedding), 9) DESC,
+                    x.vec_id ASC
+         ) AS rank
+  FROM embeddings q JOIN embeddings x
+    ON x.vec_id <> q.vec_id AND x.vec_id % 2 = 0
+  WHERE q.vec_id < 4
+) WHERE rank <= 10
+"""
+    # radial table search: same contract as ann_ivf_radial on the table path
+    o["ann_ivf_table_radial"] = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
+         list_cosine_similarity(q.embedding, x.embedding) AS sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding, x.embedding), 9) DESC,
+                    x.vec_id ASC
+         ) AS rank
+  FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
+  WHERE q.vec_id < 4
+) WHERE sim >= 0.35
 """
     # one-bit tier: the exact rerank restores full-precision ranks (hamming
     # traversal only shrinks the candidate pool; 12x oversample covers it at

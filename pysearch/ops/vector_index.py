@@ -1030,6 +1030,8 @@ def search_vector_index_table(
     max_distance: float | None = None,
     nprobe_col: str | None = None,
     rerank_factor_col: str | None = None,
+    k_col: str | None = None,
+    min_sim_col: str | None = None,
 ) -> DataFrame:
     """Query-TABLE vector search — the offline-evaluation / training-data
     regime (10^6+ query vectors), fully distributed: query embeddings never
@@ -1058,14 +1060,24 @@ def search_vector_index_table(
 
     Per-row method parameters (the method_parameters analog,
     KNNQueryBuilder.java:71-76,241-258): `nprobe_col` / `rerank_factor_col`
-    name integer columns of `queries_df` overriding the per-call defaults
-    row by row — a table mixing easy and hard queries widens its probe /
-    rerank budget only where needed. Nulls fall back to the defaults."""
+    / `k_col` name integer columns of `queries_df` overriding the per-call
+    defaults row by row — a table mixing easy and hard queries widens its
+    probe / rerank / result budget only where needed. Nulls fall back to
+    the defaults.
+
+    Per-row RADIAL (`min_sim_col`, the text table's `min_score_col` twin):
+    a row with a non-null raw-similarity threshold switches to radial mode
+    — every neighbor at/above its threshold, unbounded, exact-tier, its k
+    ignored — while null rows stay top-k; the two sub-plans share ONE probe
+    fan-out and union."""
     meta = IndexMeta(index_dir)
     cfg = meta.load_config()
     space = space or cfg.extra.get("space", "cosinesimil")
+    if min_sim_col is not None and (min_sim is not None or max_distance is not None):
+        raise ValueError("min_sim_col is exclusive with per-call min_sim/max_distance")
     min_sim = _radial_threshold(space, min_sim, max_distance)
     radial = min_sim is not None
+    mixed = min_sim_col is not None
     C = _load_centroids(index_dir)
     bC = spark.sparkContext.broadcast(C)
     nlist = C.shape[0]
@@ -1076,14 +1088,18 @@ def search_vector_index_table(
             T.StructField("query_id", T.LongType()),
             T.StructField("q_emb", T.ArrayType(T.DoubleType())),
             T.StructField("cell", T.IntegerType()),
-            # per-row rerank budget (k * rerank_factor, floored) rides the
-            # fan-out so the approximate cut can vary per query
+            # per-row budgets ride the fan-out so every cut can vary per
+            # query: _kt = rerank budget (k * rerank_factor, floored),
+            # _k = final top-k, _ms = radial threshold (NaN = top-k row)
             T.StructField("_kt", T.IntegerType()),
+            T.StructField("_k", T.IntegerType()),
+            T.StructField("_ms", T.DoubleType()),
         ]
     )
-    qcols = [id_col, vec] + (
-        [nprobe_col] if nprobe_col else []
-    ) + ([rerank_factor_col] if rerank_factor_col else [])
+    qcols = [id_col, vec]
+    for c in (nprobe_col, rerank_factor_col, k_col, min_sim_col):
+        if c:
+            qcols.append(c)
 
     def assign_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Cv = bC.value
@@ -1106,7 +1122,17 @@ def search_vector_index_table(
                 ).clip(1, None)
             else:
                 rf = np.full(n, rerank_factor, dtype=np.int64)
-            kt = np.maximum(k * rf, 50)
+            if k_col:
+                kv = pdf[k_col].fillna(k).to_numpy(np.int64).clip(1, None)
+            else:
+                kv = np.full(n, k, dtype=np.int64)
+            kt = np.maximum(kv * rf, 50)
+            if min_sim_col:
+                ms = pd.to_numeric(pdf[min_sim_col], errors="coerce").to_numpy(
+                    np.float64
+                )  # nulls -> NaN = top-k row
+            else:
+                ms = np.full(n, np.nan)
             # vectorized variable-width probe take: row-major ravel of the
             # first npb[i] columns of each row's cell order
             mask = np.arange(nlist)[None, :] < npb[:, None]
@@ -1117,6 +1143,8 @@ def search_vector_index_table(
                     "q_emb": [Q[i] for i in reps],
                     "cell": order[mask].astype(np.int32),
                     "_kt": kt[reps].astype(np.int32),
+                    "_k": kv[reps].astype(np.int32),
+                    "_ms": ms[reps],
                 }
             )
 
@@ -1126,12 +1154,12 @@ def search_vector_index_table(
 
     live = _live_vector_segments(meta)
     plain_paths, quant_paths = _cells_paths_split(meta, live)
-    if quant_paths and not radial:
-        # the probe fan-out feeds the quant join, the rerank cell semi-join
-        # (and possibly the plain join) — persist so the assign pass over
-        # the query table runs once. The previous call's persisted fan-out
-        # (if any) is released here: long-lived sessions (server, bench
-        # loops) hold at most ONE probe cache at a time.
+    if (quant_paths and not radial) or mixed:
+        # the probe fan-out feeds multiple subtrees (quant join + rerank
+        # cell semi-join, and/or the mixed radial/top-k split) — persist so
+        # the assign pass over the query table runs once. The previous
+        # call's persisted fan-out (if any) is released here: long-lived
+        # sessions (server, bench loops) hold at most ONE probe cache.
         probes_df = probes_df.persist()
         _swap_probe_cache(probes_df)
     dead = meta.tombstones_df(spark)
@@ -1154,12 +1182,11 @@ def search_vector_index_table(
             data = data.join(allow_df, "vec_id", "left_semi")
         return data
 
-    if radial:
+    def radial_out(probes: DataFrame, thr_scalar: float | None) -> DataFrame:
         # exact full-precision scan of the probed cells of EVERY tier; all
-        # hits >= threshold kept (unbounded by contract — no per-batch or
-        # global truncation, no quantized traversal)
-        thr_v = float(min_sim)
-
+        # hits at/above the (per-call or per-row) threshold kept (unbounded
+        # by contract — no per-batch or global truncation, no quantized
+        # traversal)
         def radial_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 if not len(pdf):
@@ -1168,8 +1195,13 @@ def search_vector_index_table(
                 X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
                 qids = pdf["query_id"].to_numpy(np.int64)
                 nids = pdf["vec_id"].to_numpy(np.int64)
+                thr = (
+                    np.full(len(pdf), thr_scalar)
+                    if thr_scalar is not None
+                    else pdf["_ms"].to_numpy(np.float64)
+                )
                 sim = _space_sim_rowwise(Qr, X, space)
-                keep = (nids != qids) & (sim >= thr_v)
+                keep = (nids != qids) & (sim >= thr)
                 if not keep.any():
                     continue
                 yield pd.DataFrame(
@@ -1185,7 +1217,7 @@ def search_vector_index_table(
                 spark, plain_paths + quant_paths, ["vec_id", "embedding", "cell"]
             )
         )
-        local = probes_df.drop("_kt").join(data_all, "cell").mapInPandas(
+        local = probes.join(data_all, "cell").mapInPandas(
             radial_pairs, schema=_OUT_SCHEMA
         )
         w = Window.partitionBy("query_id").orderBy(
@@ -1195,21 +1227,29 @@ def search_vector_index_table(
             "query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rank"
         )
 
-    def _group_cut(qids, nids, sim, kk):
+    if radial:
+        return radial_out(probes_df, float(min_sim))
+
+    def _group_cut(qids, nids, sim, kks):
         """Per-batch per-query cut: keep every row whose half-up-quantized
         score (floor(sim*1e9+0.5) — the same rounding the global window
-        ranks by) is within ONE quantum of the per-query kk-th best. This is
+        ranks by) is within ONE quantum of the per-query kks-th best (kks is
+        per-ROW, constant within a query — the method_parameters k). This is
         the tie-inclusive THRESHOLD form the text batch kernel uses — a
-        provable superset of the per-query top-kk under the window's rounded
+        provable superset of the per-query top-k under the window's rounded
         ordering, with no fixed positional-slack assumption (a positional
         cut could drop a global-top-k row if >slack rounding-boundary ties
         landed in one batch)."""
         r = np.floor(sim * 1e9 + 0.5)
         order = np.lexsort((nids, -r, qids))
-        qids, nids, sim, r = qids[order], nids[order], sim[order], r[order]
+        qids, nids, sim, r, kks = (
+            qids[order], nids[order], sim[order], r[order], kks[order]
+        )
         starts = np.flatnonzero(np.concatenate(([True], qids[1:] != qids[:-1])))
         counts = np.diff(np.concatenate((starts, [qids.size])))
-        kth = np.repeat(r[starts + np.minimum(kk - 1, counts - 1)], counts)
+        kth = np.repeat(
+            r[starts + np.minimum(kks[starts] - 1, counts - 1)], counts
+        )
         keep = r >= kth - 1.0
         return qids[keep], nids[keep], sim[keep], keep
 
@@ -1221,130 +1261,155 @@ def search_vector_index_table(
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             qids = pdf["query_id"].to_numpy(np.int64)
             nids = pdf["vec_id"].to_numpy(np.int64)
+            kks = pdf["_k"].to_numpy(np.int64)
             sim = _space_sim_rowwise(Qr, X, space)
             keep = nids != qids
-            qids, nids, sim = qids[keep], nids[keep], sim[keep]
+            qids, nids, sim, kks = qids[keep], nids[keep], sim[keep], kks[keep]
             if not qids.size:
                 continue
-            qids, nids, sim, _ = _group_cut(qids, nids, sim, k)
+            qids, nids, sim, _ = _group_cut(qids, nids, sim, kks)
             yield pd.DataFrame(
                 {"query_id": qids, "neighbor_id": nids, "sim": sim}
             )
 
-    locals_: list[DataFrame] = []
-    if plain_paths:
-        data_f = masked(_read_paths(spark, plain_paths, ["vec_id", "embedding", "cell"]))
-        locals_.append(
-            probes_df.drop("_kt")
-            .join(data_f, "cell")
-            .mapInPandas(score_pairs, schema=_OUT_SCHEMA)
-        )
-    if quant_paths:
-        quant_kind = cfg.extra.get("quant_kind", "int8")
-        bthr2 = (
-            spark.sparkContext.broadcast(_load_onebit_thresholds(index_dir))
-            if quant_kind == "onebit"
-            else None
-        )
-        quant_cols = (
-            ["vec_id", "cell", "qcode"] if quant_kind == "onebit"
-            else ["vec_id", "cell", "qcode", "qlo", "qstep"]
-        )
-        data_q = masked(_read_paths(spark, quant_paths, quant_cols))
-        cand_schema = T.StructType(
-            [
-                T.StructField("query_id", T.LongType()),
-                T.StructField("neighbor_id", T.LongType()),
-                T.StructField("q_emb", T.ArrayType(T.DoubleType())),
-            ]
-        )
+    def topk_out(probes: DataFrame) -> DataFrame:
+        locals_: list[DataFrame] = []
+        if plain_paths:
+            data_f = masked(
+                _read_paths(spark, plain_paths, ["vec_id", "embedding", "cell"])
+            )
+            locals_.append(
+                probes.join(data_f, "cell")
+                .mapInPandas(score_pairs, schema=_OUT_SCHEMA)
+            )
+        if quant_paths:
+            quant_kind = cfg.extra.get("quant_kind", "int8")
+            bthr2 = (
+                spark.sparkContext.broadcast(_load_onebit_thresholds(index_dir))
+                if quant_kind == "onebit"
+                else None
+            )
+            quant_cols = (
+                ["vec_id", "cell", "qcode"] if quant_kind == "onebit"
+                else ["vec_id", "cell", "qcode", "qlo", "qstep"]
+            )
+            data_q = masked(_read_paths(spark, quant_paths, quant_cols))
+            cand_schema = T.StructType(
+                [
+                    T.StructField("query_id", T.LongType()),
+                    T.StructField("neighbor_id", T.LongType()),
+                    T.StructField("q_emb", T.ArrayType(T.DoubleType())),
+                ]
+            )
 
-        def approx_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            thr = bthr2.value if bthr2 is not None else None
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                qids = pdf["query_id"].to_numpy(np.int64)
-                nids = pdf["vec_id"].to_numpy(np.int64)
-                if thr is not None:
-                    Qr = np.stack(pdf["q_emb"].to_numpy())
-                    qb = np.packbits(Qr > thr[None, :], axis=1)
-                    xb = np.frombuffer(b"".join(pdf["qcode"]), np.uint8).reshape(
-                        len(pdf), -1
+            def approx_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                thr = bthr2.value if bthr2 is not None else None
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    qids = pdf["query_id"].to_numpy(np.int64)
+                    nids = pdf["vec_id"].to_numpy(np.int64)
+                    if thr is not None:
+                        Qr = np.stack(pdf["q_emb"].to_numpy())
+                        qb = np.packbits(Qr > thr[None, :], axis=1)
+                        xb = np.frombuffer(b"".join(pdf["qcode"]), np.uint8).reshape(
+                            len(pdf), -1
+                        )
+                        sim = -_POPCNT[qb ^ xb].sum(axis=1).astype(np.float64)
+                    else:
+                        Qr = np.stack(pdf["q_emb"].to_numpy())
+                        Xa = _dequantize(pdf)
+                        sim = _space_sim_rowwise(Qr, Xa, space)
+                    keep = nids != qids
+                    if not keep.any():
+                        continue
+                    q_embs = pdf["q_emb"].to_numpy()
+                    # per-row rerank budget (method_parameters analog): _kt is
+                    # constant within a query, so the cut below can vary by row
+                    kt = pdf["_kt"].to_numpy(np.int64)
+                    qids, nids, sim = qids[keep], nids[keep], sim[keep]
+                    q_embs, kt = q_embs[keep], kt[keep]
+                    order = np.lexsort((nids, -np.round(sim, 9), qids))
+                    qids, nids, q_embs, kt = (
+                        qids[order], nids[order], q_embs[order], kt[order]
                     )
-                    sim = -_POPCNT[qb ^ xb].sum(axis=1).astype(np.float64)
-                else:
+                    starts = np.flatnonzero(
+                        np.concatenate(([True], qids[1:] != qids[:-1]))
+                    )
+                    counts = np.diff(np.concatenate((starts, [qids.size])))
+                    pos = np.arange(qids.size) - np.repeat(starts, counts)
+                    kp = pos < kt
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qids[kp],
+                            "neighbor_id": nids[kp],
+                            "q_emb": list(q_embs[kp]),
+                        }
+                    )
+
+            cand = probes.join(data_q, "cell").mapInPandas(
+                approx_pairs, schema=cand_schema
+            )
+            # exact rescore: candidates join the full-precision column of the
+            # probed cells only (the semi-join against the probe fan-out keeps
+            # the pruning — candidates are inside probed cells by construction)
+            full_q = masked(
+                _read_paths(spark, quant_paths, ["vec_id", "embedding", "cell"])
+            ).join(
+                probes.select("cell").distinct(), "cell", "left_semi"
+            ).drop("cell")
+
+            def exact_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
                     Qr = np.stack(pdf["q_emb"].to_numpy())
-                    Xa = _dequantize(pdf)
-                    sim = _space_sim_rowwise(Qr, Xa, space)
-                keep = nids != qids
-                if not keep.any():
-                    continue
-                q_embs = pdf["q_emb"].to_numpy()
-                # per-row rerank budget (method_parameters analog): _kt is
-                # constant within a query, so the cut below can vary by row
-                kt = pdf["_kt"].to_numpy(np.int64)
-                qids, nids, sim = qids[keep], nids[keep], sim[keep]
-                q_embs, kt = q_embs[keep], kt[keep]
-                order = np.lexsort((nids, -np.round(sim, 9), qids))
-                qids, nids, q_embs, kt = (
-                    qids[order], nids[order], q_embs[order], kt[order]
-                )
-                starts = np.flatnonzero(
-                    np.concatenate(([True], qids[1:] != qids[:-1]))
-                )
-                counts = np.diff(np.concatenate((starts, [qids.size])))
-                pos = np.arange(qids.size) - np.repeat(starts, counts)
-                kp = pos < kt
-                yield pd.DataFrame(
-                    {
-                        "query_id": qids[kp],
-                        "neighbor_id": nids[kp],
-                        "q_emb": list(q_embs[kp]),
-                    }
-                )
+                    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                    yield pd.DataFrame(
+                        {
+                            "query_id": pdf["query_id"].to_numpy(np.int64),
+                            "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                            "sim": _space_sim_rowwise(Qr, X, space),
+                        }
+                    )
 
-        cand = probes_df.join(data_q, "cell").mapInPandas(
-            approx_pairs, schema=cand_schema
+            locals_.append(
+                cand.join(full_q.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+                .mapInPandas(exact_pairs, schema=_OUT_SCHEMA)
+            )
+
+        local = locals_[0]
+        for d in locals_[1:]:
+            local = local.unionByName(d)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round(F.col("sim"), 9)), F.asc("neighbor_id")
         )
-        # exact rescore: candidates join the full-precision column of the
-        # probed cells only (the semi-join against the probe fan-out keeps
-        # the pruning — candidates are inside probed cells by construction)
-        full_q = masked(
-            _read_paths(spark, quant_paths, ["vec_id", "embedding", "cell"])
-        ).join(
-            probes_df.select("cell").distinct(), "cell", "left_semi"
-        ).drop("cell")
-
-        def exact_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                Qr = np.stack(pdf["q_emb"].to_numpy())
-                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                yield pd.DataFrame(
-                    {
-                        "query_id": pdf["query_id"].to_numpy(np.int64),
-                        "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
-                        "sim": _space_sim_rowwise(Qr, X, space),
-                    }
-                )
-
-        locals_.append(
-            cand.join(full_q.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
-            .mapInPandas(exact_pairs, schema=_OUT_SCHEMA)
-        )
-
-    local = locals_[0]
-    for d in locals_[1:]:
-        local = local.unionByName(d)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round(F.col("sim"), 9)), F.asc("neighbor_id")
-    )
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
+        ranked = local.withColumn("rank", F.row_number().over(w))
+        if k_col:
+            # per-row k (method_parameters analog): the final cut joins the
+            # tiny (query_id, k) projection of the input table — never a
+            # literal map in the plan
+            qk = queries_df.select(
+                F.col(id_col).cast("long").alias("query_id"),
+                F.coalesce(F.col(k_col).cast("int"), F.lit(k)).alias("_qk"),
+            )
+            ranked = ranked.join(qk, "query_id").where(
+                F.col("rank") <= F.col("_qk")
+            )
+        else:
+            ranked = ranked.where(F.col("rank") <= k)
+        return ranked.select(
             "query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rank"
         )
-    )
+
+    if not mixed:
+        return topk_out(probes_df)
+    # mixed per-row radial/top-k table: ONE probe fan-out, split by the
+    # per-row threshold column, two sub-plans union (the text table's
+    # min_score_col contract on the vector side)
+    # a NaN _ms may arrive as SQL null after the Arrow pass (pandas float
+    # NaN <-> null conversion) — treat both as "top-k row"
+    is_radial_row = F.col("_ms").isNotNull() & ~F.isnan(F.col("_ms"))
+    out_topk = topk_out(probes_df.where(~is_radial_row))
+    out_rad = radial_out(probes_df.where(is_radial_row), None)
+    return out_topk.unionByName(out_rad)

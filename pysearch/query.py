@@ -130,6 +130,20 @@ _RESTRICT_SCHEMA = T.StructType(
 )
 
 
+def _empty_restrict_pd(with_qid: bool = False) -> pd.DataFrame:
+    """Driver-side empty restrict frame for the one-sided kernel dispatch
+    (used when no filter and no tombstones exist, so the cogroup's second
+    exchange — and its AQE stage-job — can be skipped entirely)."""
+    cols = {
+        "segment_id": pd.Series(dtype="object"),
+        "doc_id": pd.Series(dtype="int64"),
+        "flag": pd.Series(dtype="int64"),
+    }
+    if with_qid:
+        cols["qid"] = pd.Series(dtype="int64")
+    return pd.DataFrame(cols)
+
+
 @dataclass
 class Query:
     """The knn-clause analog (KNNQueryBuilder.java:64-81)."""
@@ -201,6 +215,27 @@ class SearchIndex:
         # small-index fast path: pin global term->df in driver memory (one
         # less Spark job per query). Gated by size — a 10^12-file index has
         # hundreds of millions of terms and stays on the pushdown path.
+        # hot-postings cache (the Lucene page-cache / segment-reader-in-RAM
+        # analog): small indexes pin the postings union in executor storage,
+        # so per-query scans skip file listing + parquet footer work. Gated
+        # by size exactly like the identity cache — a 10^12-file index stays
+        # on the parquet pushdown path (which tests/test_plan_properties.py
+        # guards against the UNCACHED reader below).
+        prev_hot = getattr(self, "_postings_cached", None)
+        if prev_hot is not None:
+            prev_hot.unpersist()
+        self._postings_cached = None
+        if 0 < self.num_docs <= self.IDENTITY_CACHE_MAX_DOCS and self._postings_df is not None:
+            from pyspark import StorageLevel
+
+            # the no-op filter keeps this a DISTINCT analyzed plan from
+            # _postings_df, so Spark's cache manager only substitutes the
+            # cache when _postings_source() opts in — the bare parquet union
+            # (and its pushdown/pruning plan, which tests guard) stays
+            # available for plan inspection and big-index readers
+            self._postings_cached = self._postings_df.where(F.lit(True)).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         self._df_cache: dict[str, int] | None = None
         total_terms = sum(m["num_terms"] for m in self.manifests.values())
         if 0 < total_terms <= 2_000_000 and self._dictionary_df is not None:
@@ -373,6 +408,61 @@ class SearchIndex:
     def idf(self, df_t: int) -> float:
         return float(np.log(1.0 + (self.num_docs - df_t + 0.5) / (df_t + 0.5)))
 
+    def _postings_source(self) -> DataFrame:
+        """The hot cached union when the size gate admitted it, else the
+        parquet union with full pushdown/pruning."""
+        return (
+            self._postings_cached
+            if self._postings_cached is not None
+            else self._postings_df
+        )
+
+    SINGLE_QUERY_SHUFFLE_PARTITIONS = 4
+
+    def _single_query_confs(self):
+        """Latency tuning for the one-query action: AQE materializes each
+        shuffle stage as its own job (3 scheduler round-trips measured for a
+        query whose kernel shuffle has only #segments groups), and a static
+        32-partition shuffle schedules mostly-empty reduce tasks. Both knobs
+        are set for the duration of the action and restored after —
+        measured p50 0.86s -> 0.64s at sf0.1/local[32]. Batch and table
+        paths keep AQE (their shuffles are big enough to benefit). Note:
+        session confs are global, so concurrent queries in other threads of
+        the SAME SparkSession momentarily share the setting — both values
+        are correct under either setting, this is purely a scheduling
+        trade."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def ctx():
+            spark = self.spark
+            want = {"spark.sql.adaptive.enabled": "false"}
+            try:
+                cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            except Exception:
+                cur = 200
+            want["spark.sql.shuffle.partitions"] = str(
+                max(
+                    self.SINGLE_QUERY_SHUFFLE_PARTITIONS,
+                    min(max(len(self.segments), 1), cur),
+                )
+            )
+            saved = {}
+            for k_, v in want.items():
+                try:
+                    saved[k_] = spark.conf.get(k_)
+                except Exception:
+                    saved[k_] = None
+                spark.conf.set(k_, v)
+            try:
+                yield
+            finally:
+                for k_, v in saved.items():
+                    if v is not None:
+                        spark.conf.set(k_, v)
+
+        return ctx()
+
     # -- main entry ----------------------------------------------------------
     def search(
         self,
@@ -388,6 +478,10 @@ class SearchIndex:
         if isinstance(query, str):
             query = Query(text=query, k=k or 10)
         query.validate()
+        with self._single_query_confs():
+            return self._search_impl(query, with_metrics)
+
+    def _search_impl(self, query: Query, with_metrics: bool):
         spark = self.spark
         cfg = self.config
 
@@ -410,8 +504,9 @@ class SearchIndex:
         avgdl_map = {t: avgdl_map[t] for t in terms}
         buckets = sorted({bucket_of(t, cfg.term_buckets) for t in terms})
 
-        # bucket partition-pruning + term row-group pruning at the parquet scan
-        postings = self._postings_df.where(
+        # bucket partition-pruning + term row-group pruning at the parquet
+        # scan (hot indexes serve the same filters from the storage cache)
+        postings = self._postings_source().where(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
         if not phrases:
@@ -455,11 +550,20 @@ class SearchIndex:
                 )
             ),
         )
-        candidates = (
-            postings.groupBy("segment_id")
-            .cogroup(restrict.groupBy("segment_id"))
-            .applyInPandas(kernel, schema=HIT_SCHEMA)
-        )
+        if query.filter_expr is None and self._tombstones_df is None:
+            # no accept/deny sets exist: skip the cogroup's second exchange
+            # entirely (one fewer AQE stage-job on the latency path — the
+            # empty restrict side otherwise still plans+materializes)
+            empty_restrict = _empty_restrict_pd()
+            candidates = postings.groupBy("segment_id").applyInPandas(
+                lambda pdf: kernel(pdf, empty_restrict), schema=HIT_SCHEMA
+            )
+        else:
+            candidates = (
+                postings.groupBy("segment_id")
+                .cogroup(restrict.groupBy("segment_id"))
+                .applyInPandas(kernel, schema=HIT_SCHEMA)
+            )
         if with_metrics:
             # the kernel emits one sentinel row (doc_id = -1) per segment
             # carrying the per-segment counters (stats analog); persist so
@@ -626,7 +730,7 @@ class SearchIndex:
             return spark.createDataFrame([], out_schema)
 
         buckets = sorted({bucket_of(t, cfg.term_buckets) for t in live_terms})
-        postings = self._postings_df.where(F.col("bucket").isin(buckets))
+        postings = self._postings_source().where(F.col("bucket").isin(buckets))
         if len(live_terms) <= 512:
             # small vocabularies ride the plan as literals so the In(term,..)
             # predicate reaches parquet row groups
@@ -687,11 +791,19 @@ class SearchIndex:
                 T.StructField("score", T.DoubleType()),
             ]
         )
-        cands = (
-            postings.groupBy("segment_id")
-            .cogroup(restrict.groupBy("segment_id"))
-            .applyInPandas(kernel, schema=cand_schema)
-        )
+        if not parts:
+            # no filters and no tombstones in the whole chunk: one-sided
+            # dispatch, no second exchange
+            empty_restrict = _empty_restrict_pd(with_qid=True)
+            cands = postings.groupBy("segment_id").applyInPandas(
+                lambda pdf: kernel(pdf, empty_restrict), schema=cand_schema
+            )
+        else:
+            cands = (
+                postings.groupBy("segment_id")
+                .cogroup(restrict.groupBy("segment_id"))
+                .applyInPandas(kernel, schema=cand_schema)
+            )
         from pyspark.sql import Window
 
         w = Window.partitionBy("query_id").orderBy(

@@ -266,3 +266,34 @@ def test_rerank_factor_governs_recall(spark, tmp_path):
     by_q = _by_q(rows)
     assert len(by_q[101] & set(true_ids)) == 0, by_q[101]
     assert len(by_q[102] & set(true_ids)) == 10, by_q[102]
+
+
+def test_per_row_k_and_mixed_radial(spark, emb, plain_idx):
+    """Per-row k (k_col) and per-row radial (min_sim_col) on one table —
+    the text table's per-row k / min_score_col contract on the vector side:
+    row 1 -> k=5, row 2 -> k=15, row 3 -> radial at 0.25 (its k ignored).
+    Each row matches the equivalent per-call search exactly."""
+    qids = [1, 2, 3]
+    qdf = _qdf(emb, qids).withColumn(
+        "kk",
+        F.when(F.col("query_id") == 1, F.lit(5)).when(
+            F.col("query_id") == 2, F.lit(15)
+        ),
+    ).withColumn(
+        "ms", F.when(F.col("query_id") == 3, F.lit(0.25))
+    )
+    rows = search_vector_index_table(
+        spark, plain_idx, qdf, k=10, nprobe=8, k_col="kk", min_sim_col="ms"
+    ).collect()
+    got = {q: [r for r in rows if r["query_id"] == q] for q in qids}
+    assert len(got[1]) == 5 and len(got[2]) == 15
+    for q, kk in ((1, 5), (2, 15)):
+        lst = search_vector_index(
+            spark, plain_idx, _queries(emb, [q]), k=kk, nprobe=8
+        ).collect()
+        assert _key(got[q]) == _key(lst), q
+    rad = search_vector_index(
+        spark, plain_idx, _queries(emb, [3]), nprobe=8, min_sim=0.25
+    ).collect()
+    assert _key(got[3]) == _key(rad)
+    assert all(r["cosine"] >= 0.25 for r in got[3])
