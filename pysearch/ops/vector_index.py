@@ -1032,6 +1032,7 @@ def search_vector_index_table(
     rerank_factor_col: str | None = None,
     k_col: str | None = None,
     min_sim_col: str | None = None,
+    allow_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Query-TABLE vector search — the offline-evaluation / training-data
     regime (10^6+ query vectors), fully distributed: query embeddings never
@@ -1064,6 +1065,13 @@ def search_vector_index_table(
     defaults row by row — a table mixing easy and hard queries widens its
     probe / rerank / result budget only where needed. Nulls fall back to
     the defaults.
+
+    Per-QUERY filters (`allow_pairs`, the per-knn-clause filter analog —
+    each reference knn clause carries its OWN filter,
+    KNNQueryBuilder.java:536-541): a DataFrame of (query_id, vec_id) accept
+    pairs; each query only matches its own listed ids, applied as one
+    distributed two-column semi-join (never literals). Composes with the
+    call-wide `allow_ids`.
 
     Per-row RADIAL (`min_sim_col`, the text table's `min_score_col` twin):
     a row with a non-null raw-similarity threshold switches to radial mode
@@ -1182,6 +1190,18 @@ def search_vector_index_table(
             data = data.join(allow_df, "vec_id", "left_semi")
         return data
 
+    def pair_filtered(joined: DataFrame) -> DataFrame:
+        """Per-query accept sets: semi-join the (query, candidate) fan-out
+        against the (query_id, vec_id) pairs table BEFORE scoring, so each
+        query's filter prunes its own candidates distributed."""
+        if allow_pairs is None:
+            return joined
+        ap = allow_pairs.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+        )
+        return joined.join(ap, ["query_id", "vec_id"], "left_semi")
+
     def radial_out(probes: DataFrame, thr_scalar: float | None) -> DataFrame:
         # exact full-precision scan of the probed cells of EVERY tier; all
         # hits at/above the (per-call or per-row) threshold kept (unbounded
@@ -1217,7 +1237,7 @@ def search_vector_index_table(
                 spark, plain_paths + quant_paths, ["vec_id", "embedding", "cell"]
             )
         )
-        local = probes.join(data_all, "cell").mapInPandas(
+        local = pair_filtered(probes.join(data_all, "cell")).mapInPandas(
             radial_pairs, schema=_OUT_SCHEMA
         )
         w = Window.partitionBy("query_id").orderBy(
@@ -1279,7 +1299,7 @@ def search_vector_index_table(
                 _read_paths(spark, plain_paths, ["vec_id", "embedding", "cell"])
             )
             locals_.append(
-                probes.join(data_f, "cell")
+                pair_filtered(probes.join(data_f, "cell"))
                 .mapInPandas(score_pairs, schema=_OUT_SCHEMA)
             )
         if quant_paths:
@@ -1347,7 +1367,7 @@ def search_vector_index_table(
                         }
                     )
 
-            cand = probes.join(data_q, "cell").mapInPandas(
+            cand = pair_filtered(probes.join(data_q, "cell")).mapInPandas(
                 approx_pairs, schema=cand_schema
             )
             # exact rescore: candidates join the full-precision column of the

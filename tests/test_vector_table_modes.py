@@ -297,3 +297,40 @@ def test_per_row_k_and_mixed_radial(spark, emb, plain_idx):
     ).collect()
     assert _key(got[3]) == _key(rad)
     assert all(r["cosine"] >= 0.25 for r in got[3])
+
+
+def test_allow_pairs_per_query_filter(spark, emb, plain_idx, quant_idx):
+    """Per-QUERY accept sets (the per-knn-clause filter analog): an
+    (query_id, vec_id) pairs table restricts each query independently —
+    query 1 to even ids, query 2 to ids % 3 == 0 — matching per-call
+    allow_ids searches exactly, on plain and quantized indexes."""
+    pairs = (
+        emb.where("vec_id % 2 = 0").select(F.lit(1).alias("query_id"), "vec_id")
+        .unionByName(
+            emb.where("vec_id % 3 = 0").select(F.lit(2).alias("query_id"), "vec_id")
+        )
+    )
+    for idx in (plain_idx, quant_idx):
+        table = search_vector_index_table(
+            spark, idx, _qdf(emb, [1, 2]), k=10, nprobe=8,
+            allow_pairs=pairs, rerank_factor=8,
+        ).collect()
+        r1 = [r for r in table if r["query_id"] == 1]
+        r2 = [r for r in table if r["query_id"] == 2]
+        assert r1 and all(r["neighbor_id"] % 2 == 0 for r in r1)
+        assert r2 and all(r["neighbor_id"] % 3 == 0 for r in r2)
+        for q, mod in ((1, 2), (2, 3)):
+            lst = search_vector_index(
+                spark, idx, _queries(emb, [q]), k=10, nprobe=8,
+                allow_ids=emb.where(f"vec_id % {mod} = 0").select("vec_id"),
+                rerank_factor=8,
+            ).collect()
+            got = [r for r in table if r["query_id"] == q]
+            assert _key(got) == _key(lst), (idx, q)
+    # radial + per-query pairs compose
+    rad = search_vector_index_table(
+        spark, plain_idx, _qdf(emb, [1]), nprobe=8, min_sim=0.2,
+        allow_pairs=pairs,
+    ).collect()
+    assert rad and all(r["neighbor_id"] % 2 == 0 for r in rad)
+    assert all(r["cosine"] >= 0.2 for r in rad)
