@@ -121,6 +121,28 @@ def main(argv: list[str] | None = None) -> int:
                           "(distributed table search)")
     pvs.add_argument("--k", type=int, default=10)
     pvs.add_argument("--nprobe", type=int, default=4)
+    pvs.add_argument("--rerank-factor", type=int, default=4,
+                     help="candidate oversample on quantized indexes "
+                          "(the overquery analog; recall-governing)")
+    pvs.add_argument("--min-sim", type=float, default=None,
+                     help="RADIAL mode: every neighbor at/above this raw "
+                          "similarity, unbounded (k ignored)")
+    pvs.add_argument("--max-distance", type=float, default=None,
+                     help="RADIAL mode via distance (converted per space)")
+    pvs.add_argument("--allow", default=None,
+                     help="parquet of accepted vec_id rows (filtered search "
+                          "semi-join)")
+    pvs.add_argument("--allow-pairs", default=None,
+                     help="parquet of (query_id, vec_id) accept pairs "
+                          "(per-query filters)")
+    pvs.add_argument("--nprobe-col", default=None,
+                     help="per-row nprobe column of the query table")
+    pvs.add_argument("--rerank-factor-col", default=None,
+                     help="per-row rerank_factor column")
+    pvs.add_argument("--k-col", default=None, help="per-row k column")
+    pvs.add_argument("--min-sim-col", default=None,
+                     help="per-row radial-threshold column (non-null rows "
+                          "switch to radial)")
     pvs.add_argument("--cpus", default=None)
 
     pvm = sub.add_parser("vector-merge")
@@ -246,7 +268,19 @@ def main(argv: list[str] | None = None) -> int:
         qdf = spark.read.parquet(args.queries)
         out = search_vector_index_table(
             spark, args.index, qdf, k=args.k, nprobe=args.nprobe,
-            id_col="vec_id",
+            id_col="vec_id", rerank_factor=args.rerank_factor,
+            min_sim=args.min_sim, max_distance=args.max_distance,
+            allow_ids=(
+                spark.read.parquet(args.allow).select("vec_id")
+                if args.allow else None
+            ),
+            allow_pairs=(
+                spark.read.parquet(args.allow_pairs) if args.allow_pairs else None
+            ),
+            nprobe_col=args.nprobe_col,
+            rerank_factor_col=args.rerank_factor_col,
+            k_col=args.k_col,
+            min_sim_col=args.min_sim_col,
         )
         for r in out.collect():
             print(json.dumps(

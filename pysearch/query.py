@@ -59,6 +59,13 @@ from pysearch.config import IndexConfig
 from pysearch.analyze import tokenize_code_text, tokenize_text
 
 _PHRASE_RE = _re.compile(r'"([^"]*)"')
+
+# serializes the single-query conf tuning (AQE off + sized shuffle) so
+# concurrent searches never race the session-conf save/restore; overlapping
+# queries simply run untuned (see SearchIndex._single_query_confs)
+import threading as _threading
+
+_CONF_LOCK = _threading.Lock()
 _POS_SHIFT = np.int64(22)  # doc_id<<22 | position keys (docs < 2^41, dl < 4M)
 
 
@@ -426,15 +433,21 @@ class SearchIndex:
         32-partition shuffle schedules mostly-empty reduce tasks. Both knobs
         are set for the duration of the action and restored after —
         measured p50 0.86s -> 0.64s at sf0.1/local[32]. Batch and table
-        paths keep AQE (their shuffles are big enough to benefit). Note:
-        session confs are global, so concurrent queries in other threads of
-        the SAME SparkSession momentarily share the setting — both values
-        are correct under either setting, this is purely a scheduling
-        trade."""
+        paths keep AQE (their shuffles are big enough to benefit).
+
+        Concurrency: session confs are GLOBAL, so the tuning only engages
+        under a process-wide try-lock — the first in-flight query tunes and
+        restores; overlapping queries in other threads (a server under
+        load) run untuned rather than racing the save/restore. Results are
+        identical either way; only scheduling differs."""
         from contextlib import contextmanager
 
         @contextmanager
         def ctx():
+            if not _CONF_LOCK.acquire(blocking=False):
+                # another search is mid-flight: don't race its conf state
+                yield
+                return
             spark = self.spark
             want = {"spark.sql.adaptive.enabled": "false"}
             try:
@@ -448,18 +461,19 @@ class SearchIndex:
                 )
             )
             saved = {}
-            for k_, v in want.items():
-                try:
-                    saved[k_] = spark.conf.get(k_)
-                except Exception:
-                    saved[k_] = None
-                spark.conf.set(k_, v)
             try:
+                for k_, v in want.items():
+                    try:
+                        saved[k_] = spark.conf.get(k_)
+                    except Exception:
+                        saved[k_] = None
+                    spark.conf.set(k_, v)
                 yield
             finally:
                 for k_, v in saved.items():
                     if v is not None:
                         spark.conf.set(k_, v)
+                _CONF_LOCK.release()
 
         return ctx()
 

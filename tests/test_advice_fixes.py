@@ -151,3 +151,50 @@ def test_overquery_validation():
     with pytest.raises(ValueError):
         Query(text="x", k=5, overquery_factor=0).validate()
     Query(text="x", k=5, overquery_factor=1).validate()  # ok
+
+
+def test_concurrent_searches_are_safe(spark, tmp_path):
+    """The single-query conf tuning engages under a try-lock: two threads
+    searching concurrently both return correct results (an overlapping
+    query runs untuned rather than racing the save/restore), and the
+    session confs are restored afterwards."""
+    import threading
+
+    from pysearch.build import build_index
+    from pysearch.config import IndexConfig
+    from pysearch.fixtures import generate_repo_files
+    from pysearch.query import Query, SearchIndex
+
+    idx = str(tmp_path / "conc_idx")
+    build_index(
+        spark, generate_repo_files(spark, 300, seed=21), idx,
+        IndexConfig(segment_rows=128, term_buckets=4),
+    )
+    si = SearchIndex(spark, idx)
+    expected = {
+        t: [(r["doc_id"], round(float(r["score"]), 9))
+            for r in si.search(Query(text=t, k=5)).collect()]
+        for t in ("license merge", "import license")
+    }
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+
+    results, errors = {}, []
+
+    def run(t):
+        try:
+            for _ in range(3):
+                rows = si.search(Query(text=t, k=5)).collect()
+                got = [(r["doc_id"], round(float(r["score"]), 9)) for r in rows]
+                assert got == expected[t], t
+            results[t] = True
+        except Exception as e:  # surfaced below
+            errors.append((t, e))
+
+    threads = [threading.Thread(target=run, args=(t,)) for t in expected]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert len(results) == 2
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before

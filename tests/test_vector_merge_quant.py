@@ -441,6 +441,21 @@ def test_cli_vector_lifecycle(spark, tmp_path, tmp_index):
     want = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in exact)
     assert got == want
 
+    # radial + filtered flags reach the table path through the CLI
+    allow_path = str(tmp_path / "allow.parquet")
+    emb.where("vec_id % 2 = 0").select("vec_id").write.mode("overwrite").parquet(
+        allow_path
+    )
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        cli_main(["vector-search", "--index", tmp_index, "--queries", q_path,
+                  "--nprobe", "8", "--min-sim", "0.2", "--allow", allow_path])
+    rows2 = [_json.loads(l) for l in buf2.getvalue().strip().splitlines()]
+    assert rows2
+    assert all(r["cosine"] >= 0.2 for r in rows2)
+    assert all(r["neighbor_id"] % 2 == 0 for r in rows2)
+    assert all(r["neighbor_id"] % 9 != 0 for r in rows2)
+
 
 def test_streaming_vector_ingest(spark, tmp_path, tmp_index):
     """NRT vector indexing: build a base index, stream appended vectors via
