@@ -761,10 +761,7 @@ class SearchIndex:
             # positions payload pruned whenever no query needs the phrase tier
             postings = postings.drop("poss")
 
-        # per-query accept sets (+ shared tombstones under qid = -1): ALL
-        # filters evaluate in ONE docmap pass — each row emits the array of
-        # query ids whose predicate it satisfies, then explodes (Q docmap
-        # scans collapsed into one; predicates are codegen'd side by side)
+        # per-query accept sets (+ shared tombstones under qid = -1)
         parts = []
         filtered = [
             (info["qid"], expr)
@@ -772,21 +769,49 @@ class SearchIndex:
             if expr is not None
         ]
         if filtered:
-            matches = F.array_compact(
-                F.array(
-                    *[
-                        F.when(F.expr(expr), F.lit(qid)).otherwise(F.lit(None))
-                        for qid, expr in filtered
-                    ]
+            # real query tables repeat a few DISTINCT predicates across many
+            # rows (per-language, per-repo, ...) — dedupe them so the plan
+            # holds O(distinct filters) expressions, not O(filtered rows):
+            # one pushdown-pruned docmap branch per distinct predicate, each
+            # exploding its member-qid list (the qid lists are data, not
+            # expression nodes). A chunk of 10^4 rows sharing 3 filters
+            # compiles 3 branches. Only a chunk of ALL-DISTINCT predicates
+            # falls back to the one-pass when-array (bounded by chunk size).
+            by_expr: dict[str, list[int]] = {}
+            for qid, expr in filtered:
+                by_expr.setdefault(expr, []).append(qid)
+            if len(by_expr) <= 64:
+                for expr, qids in by_expr.items():
+                    # member qids ride as a tiny broadcast TABLE (data, not
+                    # literal expression nodes — 10^4 rows sharing a filter
+                    # add zero plan nodes)
+                    qdf = spark.createDataFrame(
+                        [(int(q),) for q in qids], "qid int"
+                    )
+                    parts.append(
+                        self.docmaps()
+                        .where(F.expr(expr))
+                        .select(
+                            "segment_id", "doc_id", F.lit(1).alias("flag")
+                        )
+                        .crossJoin(F.broadcast(qdf))
+                    )
+            else:
+                matches = F.array_compact(
+                    F.array(
+                        *[
+                            F.when(F.expr(expr), F.lit(qid)).otherwise(F.lit(None))
+                            for qid, expr in filtered
+                        ]
+                    )
                 )
-            )
-            parts.append(
-                self.docmaps()
-                .select(
-                    "segment_id", "doc_id", F.lit(1).alias("flag"),
-                    F.explode(matches).alias("qid"),
+                parts.append(
+                    self.docmaps()
+                    .select(
+                        "segment_id", "doc_id", F.lit(1).alias("flag"),
+                        F.explode(matches).alias("qid"),
+                    )
                 )
-            )
         deny = self._tombstone_deny()
         if deny is not None:
             parts.append(deny.withColumn("qid", F.lit(-1)))

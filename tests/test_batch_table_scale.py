@@ -106,3 +106,50 @@ def test_table_prefix_and_phrase_still_work(spark, si):
             for r in si.search(Query(text=text, k=5)).collect()
         ]
         assert sorted(by_q.get(qid, [])) == sorted(single), text
+
+
+def test_filtered_table_dedupes_predicates(spark, si):
+    """5k filtered rows sharing 3 DISTINCT predicates: the restrict plan
+    compiles one pushdown branch per distinct predicate (member qids ride a
+    broadcast table, not literal expression nodes), and every row matches
+    its per-query single-search result."""
+    import time as _time
+
+    langs = ["rust", "go", "java"]
+    qdf = spark.range(5_000).select(
+        F.col("id").alias("query_id"),
+        F.concat(
+            F.lit("license tok0"), (F.col("id") % 61).cast("string"), F.lit(" merge")
+        ).alias("text"),
+        F.concat(
+            F.lit("lang = '"),
+            F.element_at(
+                F.array(*[F.lit(l) for l in langs]), (F.col("id") % 3 + 1).cast("int")
+            ),
+            F.lit("'"),
+        ).alias("filt"),
+    )
+    t0 = _time.time()
+    rows = si.search_batch_table(
+        qdf, default_k=3, filter_col="filt", chunk=5_000
+    ).collect()
+    dt = _time.time() - t0
+    assert dt < 120, f"filtered table took {dt:.0f}s (plan bloat?)"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(float(r["score"]), 6))
+        )
+    from pysearch.query import Query
+
+    for qid in (0, 1, 2, 4999):
+        single = [
+            (r["doc_id"], round(float(r["score"]), 6))
+            for r in si.search(
+                Query(
+                    text=f"license tok0{qid % 61} merge", k=3,
+                    filter_expr=f"lang = '{langs[qid % 3]}'",
+                )
+            ).collect()
+        ]
+        assert sorted(by_q.get(qid, [])) == sorted(single), qid
