@@ -100,6 +100,8 @@ def main(argv: list[str] | None = None) -> int:
     pserve = sub.add_parser("serve")
     pserve.add_argument("--index", required=True)
     pserve.add_argument("--port", type=int, default=8080)
+    pserve.add_argument("--vector-index", default=None,
+                        help="also serve POST /knn from this vector index dir")
     pserve.add_argument("--cpus", default=None)
 
     pvb = sub.add_parser("vector-build")
@@ -250,7 +252,9 @@ def main(argv: list[str] | None = None) -> int:
         from pysearch.query import SearchIndex
         from pysearch.server import run_blocking
 
-        run_blocking(SearchIndex(spark, args.index), args.port)
+        run_blocking(
+            SearchIndex(spark, args.index), args.port, args.vector_index
+        )
     elif args.cmd == "vector-build":
         from pysearch.ops.vector_index import build_vector_index
 

@@ -14,6 +14,12 @@ integration surface.
 
     POST /search   {"text": "...", "k": 10, "min_score": null,
                     "filter": "lang = 'py'", "fields": {"content": 1.0}}
+    POST /knn      {"vector": [...], "k": 10, "nprobe": 4,
+                    "min_sim": null, "max_distance": null,
+                    "rerank_factor": 4, "filter_ids": [ids...]} —
+                    served when the server was started with a vector
+                    index dir (the knn clause of the reference's _search
+                    endpoint, KNNQueryBuilder.java:64-81)
     GET  /stats    index-level stats (segments, docs, tombstones)
 
 Run: ``python -m pysearch.server --index <dir> [--port 8080]`` or via
@@ -29,7 +35,9 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pysearch.query import Query, SearchIndex
 
 
-def make_handler(si: SearchIndex, lock: threading.Lock):
+def make_handler(
+    si: SearchIndex, lock: threading.Lock, vector_index: str | None = None
+):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -61,6 +69,8 @@ def make_handler(si: SearchIndex, lock: threading.Lock):
         MAX_BODY = 1 << 20  # JSON query bodies are tiny; cap the read
 
         def do_POST(self):
+            if self.path == "/knn":
+                return self._knn()
             if self.path != "/search":
                 return self._send(404, {"error": "unknown path"})
             try:
@@ -114,24 +124,77 @@ def make_handler(si: SearchIndex, lock: threading.Lock):
                 },
             )
 
+        def _knn(self):
+            if vector_index is None:
+                return self._send(
+                    400, {"error": "server started without --vector-index"}
+                )
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                if not (0 <= n <= self.MAX_BODY):
+                    return self._send(400, {"error": "bad Content-Length"})
+                req = json.loads(self.rfile.read(n) or b"{}")
+                vec = req["vector"]
+                if not isinstance(vec, list) or not vec:
+                    raise ValueError("vector must be a non-empty list")
+            except KeyError as e:
+                return self._send(400, {"error": f"missing field {e}"})
+            except Exception as e:
+                return self._send(400, {"error": str(e)})
+            from pysearch.ops.vector_index import search_vector_index
+
+            with lock:
+                try:
+                    rows = search_vector_index(
+                        si.spark, vector_index,
+                        [(-1, [float(x) for x in vec])],
+                        k=int(req.get("k", 10)),
+                        nprobe=int(req.get("nprobe", 4)),
+                        rerank_factor=int(req.get("rerank_factor", 4)),
+                        min_sim=req.get("min_sim"),
+                        max_distance=req.get("max_distance"),
+                        allow_ids=req.get("filter_ids"),
+                    ).collect()
+                except ValueError as e:
+                    return self._send(400, {"error": str(e)})
+                except Exception as e:
+                    return self._send(500, {"error": str(e)})
+            self._send(
+                200,
+                {
+                    "neighbors": [
+                        {
+                            "neighbor_id": r["neighbor_id"],
+                            "score": r["cosine"],
+                            "rank": r["rank"],
+                        }
+                        for r in rows
+                    ]
+                },
+            )
+
     return Handler
 
 
-def serve(si: SearchIndex, port: int = 8080) -> ThreadingHTTPServer:
+def serve(
+    si: SearchIndex, port: int = 8080, vector_index: str | None = None
+) -> ThreadingHTTPServer:
     """Start the HTTP server on a daemon thread (non-blocking). Returns the
     bound server: read ``.server_address`` for the actual port (pass port=0
     for an ephemeral one), call ``.shutdown()`` to stop."""
     server = ThreadingHTTPServer(
-        ("127.0.0.1", port), make_handler(si, threading.Lock())
+        ("127.0.0.1", port), make_handler(si, threading.Lock(), vector_index)
     )
     threading.Thread(target=server.serve_forever, daemon=True).start()
     return server
 
 
-def run_blocking(si: SearchIndex, port: int) -> None:
+def run_blocking(
+    si: SearchIndex, port: int, vector_index: str | None = None
+) -> None:
     """Serve until interrupted; shared by `python -m pysearch.server` and
     `pysearch.cli serve` (clean shutdown on Ctrl-C)."""
-    server = serve(si, port)
+    server = serve(si, port, vector_index)
     print(
         json.dumps(
             {
@@ -155,10 +218,12 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="pysearch-server")
     ap.add_argument("--index", required=True)
     ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--vector-index", default=None,
+                    help="also serve POST /knn from this vector index dir")
     args = ap.parse_args(argv)
     spark = SparkSession.builder.appName("pysearch-server").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    run_blocking(SearchIndex(spark, args.index), args.port)
+    run_blocking(SearchIndex(spark, args.index), args.port, args.vector_index)
     return 0
 
 

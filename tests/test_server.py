@@ -74,3 +74,57 @@ def test_http_stats(served):
     with urllib.request.urlopen(url + "/stats", timeout=30) as r:
         body = json.loads(r.read())
     assert body["num_docs"] == 300 and body["segments"] >= 1
+
+
+@pytest.fixture(scope="module")
+def served_knn(spark, tmp_path_factory):
+    from pysearch.ops.vector_index import build_vector_index
+
+    tidx = str(tmp_path_factory.mktemp("srvk_t"))
+    vidx = str(tmp_path_factory.mktemp("srvk_v"))
+    build_index(
+        spark, generate_repo_files(spark, 200, seed=6), tidx,
+        IndexConfig(segment_rows=128, term_buckets=4),
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    build_vector_index(spark, emb, vidx, nlist=8, seed=42)
+    si = SearchIndex(spark, tidx)
+    server = serve(si, port=0, vector_index=vidx)
+    port = server.server_address[1]
+    yield spark, vidx, f"http://127.0.0.1:{port}"
+    server.shutdown()
+
+
+def _post_knn(url, payload):
+    req = urllib.request.Request(
+        url + "/knn", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_knn_matches_engine(served_knn):
+    from pysearch.ops.vector_index import search_vector_index
+
+    spark, vidx, url = served_knn
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vec = list(emb.where("vec_id = 1").collect()[0]["embedding"])
+    code, out = _post_knn(url, {"vector": vec, "k": 5, "nprobe": 8})
+    assert code == 200
+    direct = search_vector_index(spark, vidx, [(-1, vec)], k=5, nprobe=8).collect()
+    assert [(n["neighbor_id"], n["rank"]) for n in out["neighbors"]] == [
+        (r["neighbor_id"], r["rank"]) for r in direct
+    ]
+    # radial through the transport
+    code, out = _post_knn(url, {"vector": vec, "nprobe": 8, "min_sim": 0.3})
+    assert code == 200 and out["neighbors"]
+    assert all(n["score"] >= 0.3 for n in out["neighbors"])
+    # contract violations surface as 400
+    code, _ = _post_knn(url, {"vector": []})
+    assert code == 400
+    code, _ = _post_knn(url, {"vector": vec, "min_sim": 0.1, "max_distance": 0.5})
+    assert code == 400
