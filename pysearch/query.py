@@ -1066,6 +1066,17 @@ class SearchIndex:
                 F.xxhash64(F.col("_qid").cast("string")), F.lit(n_chunks)
             ).cast("int"),
         )
+        chunk_cache = None
+        if n_chunks > 8:
+            # cluster the cache BY chunk: each per-chunk collect then prunes
+            # to its own cached batches via in-memory column stats instead
+            # of rescanning all N compiled rows n_chunks times (O(N) total
+            # scan work across the loop, not O(n_chunks * N)); one
+            # distributed shuffle pays for it
+            chunk_cache = chunked.repartition(n_chunks, "_chunk").persist()
+            chunk_cache.count()  # materialize, then release the compile cache
+            compiled_df.unpersist()
+            chunked = chunk_cache
         id_map_schema = T.StructType(
             [
                 T.StructField("q_pos", T.LongType()),
@@ -1140,7 +1151,7 @@ class SearchIndex:
                 .join(F.broadcast(id_map), "q_pos")
                 .select("query_id", "doc_id", "score")
             )
-        compiled_df.unpersist()
+        (chunk_cache if chunk_cache is not None else compiled_df).unpersist()
         # observability + test guard: the driver never held more than one
         # chunk of compiled rows at a time
         self.last_batch_table_stats = {
