@@ -508,6 +508,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bm25_batch_retrieval"] = batch
+
+    # ---- query-TABLE retrieval (the STREAMED flagship path): per-row k /
+    # filter / min_score columns through the distributed compile +
+    # chunk-at-a-time dispatch — the 10^6-query offline surface gated
+    # directly against the oracle ------------------------------------------
+    def batch_table(s, d):
+        idx = _ensure_index(s, d)
+        qdf = s.createDataFrame(
+            [
+                (0, Q_SINGLE, 10, None, None),
+                (1, Q_MULTI, 5, None, None),
+                (2, Q_FILTERED, 10, "lang = 'de'", None),
+                (3, Q_MINSCORE, None, None, 0.35),  # radial row (k ignored)
+            ],
+            "query_id long, text string, kk int, filt string, ms double",
+        )
+        out = _searcher(s, idx).search_batch_table(
+            qdf, k_col="kk", filter_col="filt", min_score_col="ms",
+            default_k=10,
+        )
+        return out.select(
+            "query_id",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+
+    q["bm25_table_retrieval"] = batch_table
     q["bm25_prefix_expansion"] = lambda s, d: _search(s, d, Query(text=Q_PREFIX, k=10))
     q["bm25_phrase"] = lambda s, d: _search(s, d, Query(text=Q_PHRASE, k=10))
 
@@ -707,6 +734,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("query_id", "neighbor_id", "rank")
 
     q["ann_ivf_table_radial"] = ivf_table_radial
+
+    # ---- per-row method parameters on the vector TABLE (method_parameters
+    # analog, KNNQueryBuilder.java:71-76): one table mixing k=5, k=15 and a
+    # radial row; full probe -> exact tier, so the oracle applies ----------
+    def ivf_table_perrow(s, d):
+        from pysearch.ops.vector_index import (
+            build_vector_index,
+            search_vector_index_table,
+        )
+
+        idx = _index_dir(d, "ivf5")
+        emb = _emb(s, d)
+        build_vector_index(s, emb, idx, nlist=8, seed=42)
+        base = emb.where("vec_id in (1, 2, 3)").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        qdf = base.withColumn(
+            "kk",
+            F.when(F.col("query_id") == 1, F.lit(5)).when(
+                F.col("query_id") == 2, F.lit(15)
+            ),
+        ).withColumn("ms", F.when(F.col("query_id") == 3, F.lit(0.35)))
+        out = search_vector_index_table(
+            s, idx, qdf, k=10, nprobe=8, k_col="kk", min_sim_col="ms"
+        )
+        return out.select("query_id", "neighbor_id", "rank")
+
+    q["ann_ivf_table_perrow"] = ivf_table_perrow
 
     # ---- additional similarity spaces (SpaceType.java:43-160) -------------
     q["ann_l2_topk"] = lambda s, d: similarity.similarity_topk(
@@ -1109,6 +1164,14 @@ GROUP BY term
             _with_qid(4, _bm25_sql(["table", "scan", "merge"], 10, filter_sql=_phrase_like)),
         ]
     )
+    o["bm25_table_retrieval"] = "\nUNION ALL\n".join(
+        [
+            _with_qid(0, _bm25_sql(toks(Q_SINGLE), 10)),
+            _with_qid(1, _bm25_sql(toks(Q_MULTI), 5)),
+            _with_qid(2, _bm25_sql(toks(Q_FILTERED), 10, filter_sql="d.lang = 'de'")),
+            _with_qid(3, _bm25_sql(toks(Q_MINSCORE), None, min_score=0.35)),
+        ]
+    )
     o["ann_ivf_persisted_fullprobe"] = """
 SELECT query_id, neighbor_id, rank FROM (
   SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
@@ -1160,6 +1223,23 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
   WHERE q.vec_id < 4
 ) WHERE sim >= 0.35
+"""
+    # per-row method parameters: k=5 / k=15 / radial-at-0.35 rows in ONE
+    # table; full probe -> exact
+    o["ann_ivf_table_perrow"] = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
+         list_cosine_similarity(q.embedding, x.embedding) AS sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding, x.embedding), 9) DESC,
+                    x.vec_id ASC
+         ) AS rank
+  FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
+  WHERE q.vec_id IN (1, 2, 3)
+) WHERE (query_id = 1 AND rank <= 5)
+     OR (query_id = 2 AND rank <= 15)
+     OR (query_id = 3 AND sim >= 0.35)
 """
     # one-bit tier: the exact rerank restores full-precision ranks (hamming
     # traversal only shrinks the candidate pool; 12x oversample covers it at
