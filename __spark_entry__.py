@@ -763,6 +763,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_table_perrow"] = ivf_table_perrow
 
+    # ---- nested-vector search (NestedKnnVectorQueryFactory.java:1-77 /
+    # DiversifyingChildrenFloatKnnVectorQuery analog): parents own many
+    # child vectors; top-k parents per query scored by best child. Child
+    # budget covers the corpus + full probe -> parent ranking exact -------
+    def ivf_nested(s, d):
+        from pysearch.ops.vector_index import (
+            build_vector_index,
+            search_vector_index_nested,
+        )
+
+        idx = _index_dir(d, "ivf5")
+        emb = _emb(s, d)
+        build_vector_index(s, emb, idx, nlist=8, seed=42)
+        qdf = emb.where("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        parents = emb.select("vec_id", (F.col("vec_id") % 37).alias("parent_id"))
+        out = search_vector_index_nested(
+            s, idx, qdf, parents, k=10, nprobe=8,
+            child_oversample=int(emb.count()),
+        )
+        return out.select("query_id", "parent_id", "n_children", "rank")
+
+    q["ann_ivf_nested_parents"] = ivf_nested
+
     # ---- additional similarity spaces (SpaceType.java:43-160) -------------
     q["ann_l2_topk"] = lambda s, d: similarity.similarity_topk(
         _emb(s, d), ANN_QUERY_IDS, k=10, space="l2"
@@ -1223,6 +1248,26 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
   WHERE q.vec_id < 4
 ) WHERE sim >= 0.35
+"""
+    # nested parents: per-parent best child ranks the parents; n_children
+    # counts the parent's matched children within the (full) child budget
+    o["ann_ivf_nested_parents"] = """
+SELECT query_id, parent_id, n_children, rank FROM (
+  SELECT query_id, parent_id, n_children,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(best, 9) DESC, parent_id ASC
+         ) AS rank
+  FROM (
+    SELECT q.vec_id::BIGINT AS query_id,
+           (x.vec_id % 37)::BIGINT AS parent_id,
+           max(list_cosine_similarity(q.embedding, x.embedding)) AS best,
+           count(*)::BIGINT AS n_children
+    FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
+    WHERE q.vec_id < 3
+    GROUP BY 1, 2
+  )
+) WHERE rank <= 10
 """
     # per-row method parameters: k=5 / k=15 / radial-at-0.35 rows in ONE
     # table; full probe -> exact

@@ -1433,3 +1433,73 @@ def search_vector_index_table(
     out_topk = topk_out(probes_df.where(~is_radial_row))
     out_rad = radial_out(probes_df.where(is_radial_row), None)
     return out_topk.unionByName(out_rad)
+
+
+def search_vector_index_nested(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    parents_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "query_id",
+    vec: str = "embedding",
+    child_oversample: int = 3,
+    score_mode: str = "max",
+    **table_kwargs,
+) -> DataFrame:
+    """Nested-vector search — the reference's nested-field knn
+    (NestedKnnVectorQueryFactory.java:1-77 / Lucene
+    DiversifyingChildrenFloatKnnVectorQuery): a PARENT document owns many
+    child vectors (passages, chunks, frames); search returns the top-k
+    parents per query, each scored by its children per `score_mode`
+    ("max" = best child, Lucene ToParentBlockJoin max — the reference
+    default; "sum"; "count").
+
+    Composition, fully distributed: one `search_vector_index_table` pass
+    fetches the per-query top-(k * child_oversample) CHILDREN (the
+    oversample is the diversification budget — a parent with many near-top
+    children can crowd the child list, exactly the trade the reference's
+    traversal-time diversification solves in-graph; raising
+    `child_oversample` widens coverage, and `k * oversample >= corpus`
+    makes the parent ranking exact), then children join `parents_df`
+    (vec_id -> parent_id, a distributed map — never a driver structure)
+    and aggregate per (query, parent), ranked by (rounded score desc,
+    parent_id asc). Returns (query_id, parent_id, score, n_children, rank).
+    Extra keyword args pass through to the table search (filters, per-row
+    method params, ...)."""
+    if score_mode not in ("max", "sum", "count"):
+        raise ValueError("score_mode must be max | sum | count")
+    children = search_vector_index_table(
+        spark, index_dir, queries_df,
+        k=max(k * child_oversample, k), nprobe=nprobe,
+        id_col=id_col, vec=vec, **table_kwargs,
+    )
+    pmap = parents_df.select(
+        F.col("vec_id").cast("long").alias("neighbor_id"),
+        F.col("parent_id").cast("long").alias("parent_id"),
+    )
+    per_parent = (
+        children.join(pmap, "neighbor_id")
+        .groupBy("query_id", "parent_id")
+        .agg(
+            F.max("cosine").alias("max_score"),
+            F.sum("cosine").alias("sum_score"),
+            F.count(F.lit(1)).cast("long").alias("n_children"),
+        )
+    )
+    score_col = {
+        "max": "max_score", "sum": "sum_score", "count": "n_children"
+    }[score_mode]
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col(score_col), 9)), F.asc("parent_id")
+    )
+    return (
+        per_parent.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "parent_id",
+            F.round(F.col(score_col), 6).alias("score"),
+            "n_children", "rank",
+        )
+    )

@@ -334,3 +334,49 @@ def test_allow_pairs_per_query_filter(spark, emb, plain_idx, quant_idx):
     ).collect()
     assert rad and all(r["neighbor_id"] % 2 == 0 for r in rad)
     assert all(r["cosine"] >= 0.2 for r in rad)
+
+
+def test_nested_parent_search(spark, emb, plain_idx):
+    """Nested-vector search (diversifying-children analog): parents own
+    many child vectors; top-k parents scored by best child. With the child
+    budget covering the corpus the parent ranking is EXACT vs a numpy
+    oracle; score modes follow their aggregates."""
+    from pysearch.ops.vector_index import search_vector_index_nested
+
+    parents = emb.select("vec_id", (F.col("vec_id") % 37).alias("parent_id"))
+    qids = [1, 2]
+    n = emb.count()
+    got = search_vector_index_nested(
+        spark, plain_idx, _qdf(emb, qids), parents, k=5, nprobe=8,
+        child_oversample=n,  # cover everything -> exact
+    ).collect()
+
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    by_q = {q: sorted(
+        (r["rank"], r["parent_id"], r["score"]) for r in got if r["query_id"] == q
+    ) for q in qids}
+    for q in qids:
+        qi = int(np.flatnonzero(ids == q)[0])
+        sims = Xn @ Xn[qi]
+        mask = ids != q
+        best: dict[int, float] = {}
+        for vid, s_ in zip(ids[mask], sims[mask]):
+            pid = int(vid) % 37
+            best[pid] = max(best.get(pid, -2.0), float(s_))
+        want = sorted(best.items(), key=lambda t: (-round(t[1], 9), t[0]))[:5]
+        got_pids = [p_ for _, p_, __ in by_q[q]]
+        assert got_pids == [p_ for p_, __ in want], (q, got_pids, want)
+        for (_, gp, gs), (wp, ws) in zip(by_q[q], want):
+            assert abs(gs - round(ws, 6)) < 2e-6, (gp, gs, ws)
+
+    # score_mode count ranks parents by child count
+    got_cnt = search_vector_index_nested(
+        spark, plain_idx, _qdf(emb, [1]), parents, k=3, nprobe=8,
+        child_oversample=n, score_mode="count",
+    ).collect()
+    assert [r["rank"] for r in got_cnt] == [1, 2, 3]
+    counts = [r["score"] for r in got_cnt]
+    assert counts == sorted(counts, reverse=True)
