@@ -415,6 +415,17 @@ class SearchIndex:
     def idf(self, df_t: int) -> float:
         return float(np.log(1.0 + (self.num_docs - df_t + 0.5) / (df_t + 0.5)))
 
+    def _kernel_partitions(self) -> int:
+        """Partition count for kernel (applyInPandas) stages: one task per
+        segment up to the session's shuffle-partition budget. Pinned via an
+        explicit repartition so AQE's byte-based coalescing can't serialize
+        a CPU-heavy kernel stage whose shuffle happens to be small."""
+        try:
+            cur = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            cur = 200
+        return max(1, min(len(self.segments), cur))
+
     def _postings_source(self) -> DataFrame:
         """The hot cached union when the size gate admitted it, else the
         parquet union with full pushdown/pruning."""
@@ -564,6 +575,10 @@ class SearchIndex:
                 )
             ),
         )
+        # pin the kernel-stage partition count (see _kernel_partitions: AQE
+        # byte-coalescing must not serialize CPU-heavy pandas groups)
+        n_parts = self._kernel_partitions()
+        postings = postings.repartition(n_parts, "segment_id")
         if query.filter_expr is None and self._tombstones_df is None:
             # no accept/deny sets exist: skip the cogroup's second exchange
             # entirely (one fewer AQE stage-job on the latency path — the
@@ -575,7 +590,10 @@ class SearchIndex:
         else:
             candidates = (
                 postings.groupBy("segment_id")
-                .cogroup(restrict.groupBy("segment_id"))
+                .cogroup(
+                    restrict.repartition(n_parts, "segment_id")
+                    .groupBy("segment_id")
+                )
                 .applyInPandas(kernel, schema=HIT_SCHEMA)
             )
         if with_metrics:
@@ -830,6 +848,15 @@ class SearchIndex:
                 T.StructField("score", T.DoubleType()),
             ]
         )
+        # EXPLICIT partition count for the kernel stage: the shuffled block
+        # bytes are tiny (KBs per segment) but the per-group kernel is
+        # CPU-heavy (decode + 10^4-query TAAT), so AQE's byte-based
+        # coalescing would merge the whole stage into ONE task and run
+        # segments serially (measured 115 s -> ~15 s on a 32-segment
+        # index). A user-specified repartition pins the count — AQE honors
+        # it — and the groupBy reuses the exchange (same hash key).
+        n_parts = self._kernel_partitions()
+        postings = postings.repartition(n_parts, "segment_id")
         if not parts:
             # no filters and no tombstones in the whole chunk: one-sided
             # dispatch, no second exchange
@@ -840,7 +867,10 @@ class SearchIndex:
         else:
             cands = (
                 postings.groupBy("segment_id")
-                .cogroup(restrict.groupBy("segment_id"))
+                .cogroup(
+                    restrict.repartition(n_parts, "segment_id")
+                    .groupBy("segment_id")
+                )
                 .applyInPandas(kernel, schema=cand_schema)
             )
         from pyspark.sql import Window
