@@ -52,6 +52,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading
 import time
 from typing import Iterator
 
@@ -1002,17 +1003,24 @@ def search_vector_index(
 # at most ONE persisted probe fan-out is retained across calls: each
 # search_vector_index_table invocation releases the previous call's cache,
 # so long-lived sessions (server, bench loops, offline sweeps) don't
-# accumulate cached blocks until session end
+# accumulate cached blocks until session end. If a caller holds an
+# un-executed lazy result from an EARLIER table search when a later one
+# runs, the earlier plan's probe stage recomputes on execution (correct,
+# just uncached) — the cache is a single-slot working-set bound, not a
+# correctness dependency. The swap is lock-guarded so concurrent
+# server/threaded calls can't double-unpersist or leak a slot.
 _PROBE_CACHE: list = []
+_PROBE_CACHE_LOCK = threading.Lock()
 
 
 def _swap_probe_cache(df: DataFrame) -> None:
-    while _PROBE_CACHE:
-        try:
-            _PROBE_CACHE.pop().unpersist()
-        except Exception:
-            pass
-    _PROBE_CACHE.append(df)
+    with _PROBE_CACHE_LOCK:
+        while _PROBE_CACHE:
+            try:
+                _PROBE_CACHE.pop().unpersist()
+            except Exception:
+                pass
+        _PROBE_CACHE.append(df)
 
 
 def search_vector_index_table(
@@ -1033,6 +1041,7 @@ def search_vector_index_table(
     k_col: str | None = None,
     min_sim_col: str | None = None,
     allow_pairs: DataFrame | None = None,
+    _keep_raw_sim: bool = False,
 ) -> DataFrame:
     """Query-TABLE vector search — the offline-evaluation / training-data
     regime (10^6+ query vectors), fully distributed: query embeddings never
@@ -1086,6 +1095,19 @@ def search_vector_index_table(
     min_sim = _radial_threshold(space, min_sim, max_distance)
     radial = min_sim is not None
     mixed = min_sim_col is not None
+
+    def _final_select(ranked: DataFrame) -> DataFrame:
+        # reported score rounds to 6 decimals (the reference's float score
+        # precision); callers that aggregate downstream (nested parent
+        # search) get the UNROUNDED sim via the internal _keep_raw_sim
+        # flag so per-child rounding error never compounds
+        cols = [
+            F.col("query_id"), F.col("neighbor_id"),
+            F.round("sim", 6).alias("cosine"), F.col("rank"),
+        ]
+        if _keep_raw_sim:
+            cols.append(F.col("sim").alias("sim_raw"))
+        return ranked.select(*cols)
     C = _load_centroids(index_dir)
     bC = spark.sparkContext.broadcast(C)
     nlist = C.shape[0]
@@ -1117,21 +1139,29 @@ def search_vector_index_table(
             n = len(pdf)
             Q = np.stack(pdf[vec].to_numpy()).astype(np.float64)
             order = np.argsort(-_space_similarities(Q, Cv, space), axis=1)
+            def _perrow(col, default, name, hi=None):
+                # nulls fall back to the per-call default; EXPLICIT
+                # non-positive values are caller bugs and raise (mirroring
+                # search_batch_table's per-row k validation) rather than
+                # being silently clipped into plausible-looking results
+                v = pdf[col].fillna(default).to_numpy(np.int64)
+                if (v <= 0).any():
+                    raise ValueError(
+                        f"per-row {name} ({col}) values must be > 0; "
+                        f"got {int(v.min())}"
+                    )
+                return v.clip(None, hi) if hi is not None else v
+
             if nprobe_col:
-                npb = (
-                    pdf[nprobe_col].fillna(nprobe).to_numpy(np.int64)
-                    .clip(1, nlist)
-                )
+                npb = _perrow(nprobe_col, nprobe, "nprobe", hi=nlist)
             else:
                 npb = np.full(n, nprobe, dtype=np.int64)
             if rerank_factor_col:
-                rf = pdf[rerank_factor_col].fillna(rerank_factor).to_numpy(
-                    np.int64
-                ).clip(1, None)
+                rf = _perrow(rerank_factor_col, rerank_factor, "rerank_factor")
             else:
                 rf = np.full(n, rerank_factor, dtype=np.int64)
             if k_col:
-                kv = pdf[k_col].fillna(k).to_numpy(np.int64).clip(1, None)
+                kv = _perrow(k_col, k, "k")
             else:
                 kv = np.full(n, k, dtype=np.int64)
             kt = np.maximum(kv * rf, 50)
@@ -1243,9 +1273,7 @@ def search_vector_index_table(
         w = Window.partitionBy("query_id").orderBy(
             F.desc(F.round(F.col("sim"), 9)), F.asc("neighbor_id")
         )
-        return local.withColumn("rank", F.row_number().over(w)).select(
-            "query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rank"
-        )
+        return _final_select(local.withColumn("rank", F.row_number().over(w)))
 
     if radial:
         return radial_out(probes_df, float(min_sim))
@@ -1418,9 +1446,7 @@ def search_vector_index_table(
             )
         else:
             ranked = ranked.where(F.col("rank") <= k)
-        return ranked.select(
-            "query_id", "neighbor_id", F.round("sim", 6).alias("cosine"), "rank"
-        )
+        return _final_select(ranked)
 
     if not mixed:
         return topk_out(probes_df)
@@ -1470,10 +1496,14 @@ def search_vector_index_nested(
     method params, ...)."""
     if score_mode not in ("max", "sum", "count"):
         raise ValueError("score_mode must be max | sum | count")
+    # _keep_raw_sim: aggregate UNROUNDED child similarities — the table's
+    # reported `cosine` is rounded to 6 decimals, which would tie parents
+    # whose best children differ by <1e-6 (and compound error under sum
+    # mode); only the final reported parent score is rounded
     children = search_vector_index_table(
         spark, index_dir, queries_df,
         k=max(k * child_oversample, k), nprobe=nprobe,
-        id_col=id_col, vec=vec, **table_kwargs,
+        id_col=id_col, vec=vec, _keep_raw_sim=True, **table_kwargs,
     )
     pmap = parents_df.select(
         F.col("vec_id").cast("long").alias("neighbor_id"),
@@ -1483,8 +1513,8 @@ def search_vector_index_nested(
         children.join(pmap, "neighbor_id")
         .groupBy("query_id", "parent_id")
         .agg(
-            F.max("cosine").alias("max_score"),
-            F.sum("cosine").alias("sum_score"),
+            F.max("sim_raw").alias("max_score"),
+            F.sum("sim_raw").alias("sum_score"),
             F.count(F.lit(1)).cast("long").alias("n_children"),
         )
     )

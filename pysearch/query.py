@@ -481,9 +481,19 @@ class SearchIndex:
                     spark.conf.set(k_, v)
                 yield
             finally:
+                # every key that was SET gets restored: set back to the
+                # saved value when it was readable, unset otherwise —
+                # a session whose conf.get failed must not keep the
+                # single-query override (AQE off / shrunken shuffle
+                # partitions) leaking into batch/table paths afterwards
                 for k_, v in saved.items():
-                    if v is not None:
-                        spark.conf.set(k_, v)
+                    try:
+                        if v is not None:
+                            spark.conf.set(k_, v)
+                        else:
+                            spark.conf.unset(k_)
+                    except Exception:
+                        pass
                 _CONF_LOCK.release()
 
         return ctx()

@@ -137,6 +137,13 @@ def make_handler(
                 vec = req["vector"]
                 if not isinstance(vec, list) or not vec:
                     raise ValueError("vector must be a non-empty list")
+                # element conversion is request validation: non-numeric /
+                # null elements are a malformed request (400), not a
+                # server error (500)
+                try:
+                    vec = [float(x) for x in vec]
+                except (TypeError, ValueError):
+                    raise ValueError("vector elements must be numbers")
             except KeyError as e:
                 return self._send(400, {"error": f"missing field {e}"})
             except Exception as e:
@@ -147,7 +154,7 @@ def make_handler(
                 try:
                     rows = search_vector_index(
                         si.spark, vector_index,
-                        [(-1, [float(x) for x in vec])],
+                        [(-1, vec)],
                         k=int(req.get("k", 10)),
                         nprobe=int(req.get("nprobe", 4)),
                         rerank_factor=int(req.get("rerank_factor", 4)),

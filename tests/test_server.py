@@ -128,3 +128,9 @@ def test_http_knn_matches_engine(served_knn):
     assert code == 400
     code, _ = _post_knn(url, {"vector": vec, "min_sim": 0.1, "max_distance": 0.5})
     assert code == 400
+    # non-numeric / null vector elements are malformed REQUESTS (400),
+    # not server errors (500)
+    code, _ = _post_knn(url, {"vector": ["a", "b", "c"]})
+    assert code == 400
+    code, _ = _post_knn(url, {"vector": [0.1, None, 0.3]})
+    assert code == 400

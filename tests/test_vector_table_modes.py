@@ -380,3 +380,50 @@ def test_nested_parent_search(spark, emb, plain_idx):
     assert [r["rank"] for r in got_cnt] == [1, 2, 3]
     counts = [r["score"] for r in got_cnt]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_per_row_nonpositive_params_raise(spark, emb, plain_idx, quant_idx):
+    """Explicit non-positive per-row k / nprobe / rerank_factor values are
+    caller bugs and raise (the text batch table's validation contract) —
+    they must NOT be silently clipped into plausible-looking results."""
+    for col_kw, col in (
+        ("k_col", "kk"), ("nprobe_col", "kk"), ("rerank_factor_col", "kk")
+    ):
+        idx = quant_idx if col_kw == "rerank_factor_col" else plain_idx
+        qdf = _qdf(emb, [1, 2]).withColumn(
+            "kk", F.when(F.col("query_id") == 2, F.lit(0)).otherwise(F.lit(5))
+        )
+        with pytest.raises(Exception) as ei:
+            search_vector_index_table(
+                spark, idx, qdf, k=5, nprobe=8, **{col_kw: col}
+            ).collect()
+        assert "must be > 0" in str(ei.value)
+        # nulls are fine: they fall back to the per-call default
+        qdf_null = _qdf(emb, [1, 2]).withColumn(
+            "kk",
+            F.when(F.col("query_id") == 2, F.lit(None).cast("int"))
+            .otherwise(F.lit(5)),
+        )
+        out = search_vector_index_table(
+            spark, idx, qdf_null, k=5, nprobe=8, **{col_kw: col}
+        ).collect()
+        assert out
+
+
+def test_keep_raw_sim_column(spark, emb, plain_idx):
+    """_keep_raw_sim appends the UNROUNDED similarity (what the nested
+    parent aggregation consumes) while `cosine` stays the 6-decimal
+    reported score; without the flag the schema is unchanged."""
+    rows = search_vector_index_table(
+        spark, plain_idx, _qdf(emb, [1, 2]), k=10, nprobe=8,
+        _keep_raw_sim=True,
+    ).collect()
+    assert rows and "sim_raw" in rows[0].asDict()
+    for r in rows:
+        assert abs(r["cosine"] - round(r["sim_raw"], 6)) < 1e-12
+    # at least one row keeps sub-1e-6 precision the rounded column drops
+    assert any(r["sim_raw"] != r["cosine"] for r in rows)
+    plain = search_vector_index_table(
+        spark, plain_idx, _qdf(emb, [1]), k=5, nprobe=8
+    )
+    assert plain.columns == ["query_id", "neighbor_id", "cosine", "rank"]
