@@ -103,16 +103,16 @@ def main() -> None:
     queries_out["bm25_query_p50"] = round(p50, 4)
     queries_out["bm25_query_p90"] = round(p90, 4)
 
-    # batch retrieval throughput: the whole query set as one distributed job
+    # batch retrieval throughput: the whole query set as one distributed job.
+    # Best-of-3 INTERLEAVED with the table phase: the r4 driver window showed
+    # both batch surfaces 1.5x slower while single-query latency in the SAME
+    # window improved 2x — a single-shot measurement on this noisily-shared
+    # host is not evidence; the interleaved per-phase minimum is (every other
+    # phase in this file already takes a best-of-N for the same reason).
     batch_qs = [
         Query(text=q["query_text"], k=q["k"], filter_expr=q["filter_expr"])
         for q in generate_queries(100, seed=42)
     ]
-    t0 = time.time()
-    si.search_batch(batch_qs).collect()
-    batch_sec = time.time() - t0
-    queries_out["bm25_batch_100_queries"] = round(batch_sec, 3)
-    batch_qps = len(batch_qs) / batch_sec
 
     # query-TABLE batch path (distributed compile: Arrow tokenize, one
     # dictionary join for the whole table's vocabulary): 10k-query table
@@ -124,10 +124,23 @@ def main() -> None:
         F.col("id").alias("query_id"),
         F.element_at(text_arr, (F.col("id") % 100 + 1).cast("int")).alias("text"),
     )
-    t0 = time.time()
-    si.search_batch_table(qdf, default_k=10, chunk=10_000).count()
-    table_sec = time.time() - t0
+    batch_trials, table_trials = [], []
+    for _ in range(3):
+        t0 = time.time()
+        si.search_batch(batch_qs).collect()
+        batch_trials.append(time.time() - t0)
+        t0 = time.time()
+        si.search_batch_table(qdf, default_k=10, chunk=10_000).count()
+        table_trials.append(time.time() - t0)
+    batch_sec = min(batch_trials)
+    table_sec = min(table_trials)
+    queries_out["bm25_batch_100_queries"] = round(batch_sec, 3)
+    for i, x in enumerate(batch_trials):
+        queries_out[f"bm25_batch_100_trial_{i}"] = round(x, 3)
+    batch_qps = len(batch_qs) / batch_sec
     queries_out["bm25_batch_table_10k"] = round(table_sec, 3)
+    for i, x in enumerate(table_trials):
+        queries_out[f"bm25_batch_table_10k_trial_{i}"] = round(x, 3)
     table_qps = 10_000 / table_sec
 
     # ---- 3) driver-table corpus build + entry headline queries ------------

@@ -1100,23 +1100,30 @@ class SearchIndex:
         # observed peak and is guarded in tests/test_batch_table_scale.py)
         n_queries = compiled_df.count()
         n_chunks = max(1, -(-n_queries // chunk))
-        chunked = compiled_df.withColumn(
-            "_chunk",
-            F.pmod(
-                F.xxhash64(F.col("_qid").cast("string")), F.lit(n_chunks)
-            ).cast("int"),
-        )
         chunk_cache = None
-        if n_chunks > 8:
-            # cluster the cache BY chunk: each per-chunk collect then prunes
-            # to its own cached batches via in-memory column stats instead
-            # of rescanning all N compiled rows n_chunks times (O(N) total
-            # scan work across the loop, not O(n_chunks * N)); one
-            # distributed shuffle pays for it
-            chunk_cache = chunked.repartition(n_chunks, "_chunk").persist()
-            chunk_cache.count()  # materialize, then release the compile cache
-            compiled_df.unpersist()
-            chunked = chunk_cache
+        if n_chunks == 1:
+            # single-chunk fast path (the common interactive / ≤chunk-size
+            # regime): everything fits the one chunk the driver is allowed
+            # to hold, so skip the chunk-column projection and its extra
+            # cache scan entirely — one collect, zero added machinery
+            chunked = None
+        else:
+            chunked = compiled_df.withColumn(
+                "_chunk",
+                F.pmod(
+                    F.xxhash64(F.col("_qid").cast("string")), F.lit(n_chunks)
+                ).cast("int"),
+            )
+            if n_chunks > 8:
+                # cluster the cache BY chunk: each per-chunk collect then
+                # prunes to its own cached batches via in-memory column
+                # stats instead of rescanning all N compiled rows n_chunks
+                # times (O(N) total scan work across the loop, not
+                # O(n_chunks * N)); one distributed shuffle pays for it
+                chunk_cache = chunked.repartition(n_chunks, "_chunk").persist()
+                chunk_cache.count()  # materialize, then release compile cache
+                compiled_df.unpersist()
+                chunked = chunk_cache
         id_map_schema = T.StructType(
             [
                 T.StructField("q_pos", T.LongType()),
@@ -1126,7 +1133,12 @@ class SearchIndex:
         outs: list[DataFrame] = []
         max_chunk_rows = 0
         for c in range(n_chunks):
-            part = chunked.where(F.col("_chunk") == c).drop("_chunk").collect()
+            if chunked is None:
+                part = compiled_df.collect()
+            else:
+                part = (
+                    chunked.where(F.col("_chunk") == c).drop("_chunk").collect()
+                )
             if not part:
                 continue
             max_chunk_rows = max(max_chunk_rows, len(part))
