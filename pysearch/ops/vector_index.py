@@ -146,6 +146,143 @@ def _load_onebit_thresholds(index_dir: str) -> np.ndarray:
     return np.array(st["thresholds"], dtype=np.float64)
 
 
+# --- product quantization (subspace PQ) tier -------------------------------
+# The reference's primary compression regime: per-subspace KMeans++ codebooks
+# (JVectorIndexQuantization.java:114-140 computePqVectors — 256 clusters per
+# subspace), trained ONCE on the deterministic sample and persisted/reused by
+# appends and merges exactly like the one-bit thresholds (trained-state reuse,
+# QuantizationState analog). A vector's code is m bytes (one centroid id per
+# subspace) — at the default m = dim/4 that is 16x compression vs float32,
+# the reference's "16x" compression_level, with better recall per byte than
+# scalar tiers at high dimension.
+
+PQ_CLUSTERS = 256
+PQ_LLOYD_ITERS = 8
+
+# Per-tier default rescore oversample (the CompressionLevel.java:33-61
+# compression-level -> default-RescoreContext contract): lossier codes need a
+# wider exact-rerank candidate superset. int8 keeps the historical 4; pq
+# (m-byte subspace codes, ~2 bits/dim at the default m=dim/4) doubles it;
+# onebit (1 bit/dim) collapses whole orthants to one code — the adversarial
+# decoy construction in tests/test_vector_table_modes.py shows budgets below
+# ~32x recalling 0/10, so its default is the 70x that provably covers it.
+DEFAULT_RERANK_BY_TIER = {"int8": 4, "pq": 8, "onebit": 70}
+
+
+def _default_pq_m(dim: int) -> int:
+    """Reference default subspace counts (docs/user_guide.md:978-986:
+    dim/4 up to ~1k dims, dim/8 above), snapped down to a divisor of dim."""
+    target = max(dim // 4 if dim <= 1024 else dim // 8, 1)
+    while dim % target:
+        target -= 1
+    return target
+
+
+def _sq_dists(Xs: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Squared euclidean distances (n, k) via the expansion trick — no
+    n x k x d intermediate tensor."""
+    return (
+        (Xs * Xs).sum(axis=1)[:, None]
+        - 2.0 * (Xs @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+
+
+def _kmeanspp(Xs: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
+    """KMeans++ init + Lloyd iterations over one subspace sample. Fully
+    vectorized: assignment via the distance expansion, centroid update via
+    per-dimension bincount."""
+    n = Xs.shape[0]
+    k = min(k, n)
+    cents = [Xs[int(rng.integers(n))]]
+    d2 = ((Xs - cents[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        tot = d2.sum()
+        if tot <= 0:  # all points already coincide with a centroid
+            cents.append(Xs[int(rng.integers(n))])
+            continue
+        nxt = Xs[int(rng.choice(n, p=d2 / tot))]
+        cents.append(nxt)
+        d2 = np.minimum(d2, ((Xs - nxt) ** 2).sum(axis=1))
+    C = np.array(cents, dtype=np.float64)
+    for _ in range(PQ_LLOYD_ITERS):
+        a = _sq_dists(Xs, C).argmin(axis=1)
+        cnt = np.bincount(a, minlength=C.shape[0]).astype(np.float64)
+        sums = np.stack(
+            [
+                np.bincount(a, weights=Xs[:, d], minlength=C.shape[0])
+                for d in range(Xs.shape[1])
+            ],
+            axis=1,
+        )
+        nz = cnt > 0
+        C[nz] = sums[nz] / cnt[nz, None]
+    return C
+
+
+def _train_pq_codebooks(
+    emb: DataFrame,
+    id_col: str,
+    vec: str,
+    m: int,
+    seed: int,
+    sample: int = ONEBIT_SAMPLE_SIZE,
+) -> np.ndarray:
+    """(m, PQ_CLUSTERS, dim/m) codebooks from the SAME deterministic
+    lowest-md5 sample the one-bit trainer uses — resume/append reproduce the
+    identical state without retraining. When the sample has fewer than
+    PQ_CLUSTERS rows the trailing codebook slots repeat earlier centroids
+    (argmin picks the first occurrence, so padded slots are never coded)."""
+    rows = (
+        emb.select(id_col, vec)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r[vec] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_m={m} must divide dim={dim}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    cb = np.empty((m, PQ_CLUSTERS, dsub), dtype=np.float64)
+    for j in range(m):
+        C = _kmeanspp(X[:, j * dsub : (j + 1) * dsub], PQ_CLUSTERS, rng)
+        reps = -(-PQ_CLUSTERS // C.shape[0])
+        cb[j] = np.tile(C, (reps, 1))[:PQ_CLUSTERS]
+    return cb
+
+
+def _pq_codes(X: np.ndarray, cb: np.ndarray) -> list[bytes]:
+    """Encode rows to m-byte codes: nearest codebook centroid per subspace."""
+    n = X.shape[0]
+    m, _, dsub = cb.shape
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        d = _sq_dists(X[:, j * dsub : (j + 1) * dsub], cb[j])
+        codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+    return [c.tobytes() for c in codes]
+
+
+def _pq_decode(raw: bytes, n: int, cb: np.ndarray) -> np.ndarray:
+    """Reconstruct approximate float vectors from concatenated m-byte codes
+    — one gather per subspace, no per-row loop (the _dequantize analog)."""
+    m = cb.shape[0]
+    codes = np.frombuffer(raw, dtype=np.uint8).reshape(n, m)
+    return np.concatenate([cb[j][codes[:, j]] for j in range(m)], axis=1)
+
+
+def _load_quant_state(index_dir: str, quant_kind: str):
+    """Trained-state tuple for the broadcast: ("onebit", thresholds) |
+    ("pq", codebooks) | None (int8 needs no trained state)."""
+    if quant_kind == "onebit":
+        return ("onebit", _load_onebit_thresholds(index_dir))
+    if quant_kind == "pq":
+        st = json.load(open(_quant_state_path(index_dir)))
+        return ("pq", np.array(st["codebooks"], dtype=np.float64))
+    return None
+
+
 _POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int32)
 
 
@@ -154,13 +291,18 @@ def _onebit_codes(X: np.ndarray, thr: np.ndarray) -> list[bytes]:
     return [b.tobytes() for b in bits]
 
 
-def _quant_columns(out: pd.DataFrame, X: np.ndarray, thr: np.ndarray | None) -> None:
-    """Attach the compression-tier columns in place: one-bit mean-threshold
-    codes when `thr` is given, else int8 min/max codes. THE single encode
+def _quant_columns(out: pd.DataFrame, X: np.ndarray, state) -> None:
+    """Attach the compression-tier columns in place: `state` is the trained
+    quant-state tuple — ("onebit", thresholds) bit codes, ("pq", codebooks)
+    m-byte subspace codes, or None for int8 min/max codes. THE single encode
     path — build, append and compact-merge all route through it so codes can
     never diverge between write sites."""
-    if thr is not None:
-        out["qcode"] = _onebit_codes(X, thr)
+    if state is not None and state[0] == "onebit":
+        out["qcode"] = _onebit_codes(X, state[1])
+        out["qlo"] = 0.0
+        out["qstep"] = 0.0
+    elif state is not None and state[0] == "pq":
+        out["qcode"] = _pq_codes(X, state[1])
         out["qlo"] = 0.0
         out["qstep"] = 0.0
     else:
@@ -197,8 +339,8 @@ def _assign_factory(
 ):
     """Nearest-centroid assignment in the index's space (centroids are unit
     vectors from spherical k-means; l2 uses true distances to them), plus
-    the optional compression tier: int8 min/max codes, or one-bit
-    mean-threshold codes when a threshold broadcast is supplied."""
+    the optional compression tier: int8 min/max codes, or one-bit/pq codes
+    when a trained-state broadcast (`_load_quant_state` tuple) is supplied."""
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Cv = bC.value
@@ -293,20 +435,25 @@ def build_vector_index(
     quantize: bool = False,
     min_quant_rows: int = 0,
     quant_kind: str = "int8",
+    pq_m: int | None = None,
 ) -> IndexMeta:
     """Train centroids, assign every vector to its nearest cell, persist the
     cell-partitioned vector segment + centroid codebook + manifest.
     ``quantize=True`` adds a compression tier next to the full-precision
-    column — ``quant_kind="int8"`` (per-vector min/max scalar codes) or
+    column — ``quant_kind="int8"`` (per-vector min/max scalar codes),
     ``"onebit"`` (per-dimension mean-threshold bit codes, the
-    OneBitScalarQuantizer analog: 1 bit/dim, hamming traversal) — per
-    segment, only when the segment has at least ``min_quant_rows`` vectors
-    (the reference's quantize-if-large trigger; search handles mixed
-    indexes). Idempotent (commit-log keyed)."""
+    OneBitScalarQuantizer analog: 1 bit/dim, hamming traversal), or
+    ``"pq"`` (subspace product quantization, the computePqVectors analog:
+    ``pq_m`` KMeans++ codebooks of 256 centroids each, m bytes/vector;
+    default m follows the reference's dim->subspaces table = 16x
+    compression at dim/4) — per segment, only when the segment has at
+    least ``min_quant_rows`` vectors (the reference's quantize-if-large
+    trigger; search handles mixed indexes). Idempotent (commit-log
+    keyed)."""
     from pysearch.config import IndexConfig
 
-    if quant_kind not in ("int8", "onebit"):
-        raise ValueError("quant_kind must be 'int8' or 'onebit'")
+    if quant_kind not in ("int8", "onebit", "pq"):
+        raise ValueError("quant_kind must be 'int8', 'onebit' or 'pq'")
     meta = IndexMeta(index_dir)
     meta.initialize(
         IndexConfig(
@@ -339,7 +486,19 @@ def build_vector_index(
             _quant_state_path(index_dir),
             {"kind": "onebit", "dim": int(thr.size), "thresholds": thr.tolist()},
         )
-        bthr = spark.sparkContext.broadcast(thr)
+        bthr = spark.sparkContext.broadcast(("onebit", thr))
+    elif quantize and quant_kind == "pq":
+        dim = int(C.shape[1])
+        m = int(pq_m) if pq_m is not None else _default_pq_m(dim)
+        cb = _train_pq_codebooks(emb, id_col, vec, m, seed)
+        _write_json_atomic(
+            _quant_state_path(index_dir),
+            {
+                "kind": "pq", "dim": dim, "m": m,
+                "clusters": PQ_CLUSTERS, "codebooks": cb.tolist(),
+            },
+        )
+        bthr = spark.sparkContext.broadcast(("pq", cb))
     bC = spark.sparkContext.broadcast(C)
     assigned = emb.select(id_col, vec).mapInPandas(
         _assign_factory(bC, space, id_col, vec, q_seg, bthr=bthr),
@@ -381,9 +540,12 @@ def append_vectors(
     q_seg = _quantize_segment(cfg, emb.count)
     bC = spark.sparkContext.broadcast(_load_centroids(index_dir))
     bthr = None
-    if q_seg and cfg.extra.get("quant_kind") == "onebit":
-        # quantization-state REUSE: the trained thresholds, never retrained
-        bthr = spark.sparkContext.broadcast(_load_onebit_thresholds(index_dir))
+    if q_seg:
+        # quantization-state REUSE: trained thresholds/codebooks, never
+        # retrained (None for int8, which needs no trained state)
+        state = _load_quant_state(index_dir, cfg.extra.get("quant_kind", "int8"))
+        if state is not None:
+            bthr = spark.sparkContext.broadcast(state)
     assigned = emb.select(id_col, vec).mapInPandas(
         _assign_factory(
             bC, cfg.extra.get("space", "cosinesimil"), id_col, vec, q_seg, bthr=bthr
@@ -561,9 +723,12 @@ def merge_vector_index(
         # state reuse, not retraining)
         q_out = _quantize_segment(cfg, lambda: total - n_dead)
         if q_out:
+            state = _load_quant_state(
+                index_dir, cfg.extra.get("quant_kind", "int8")
+            )
             bthr = (
-                spark.sparkContext.broadcast(_load_onebit_thresholds(index_dir))
-                if cfg.extra.get("quant_kind") == "onebit"
+                spark.sparkContext.broadcast(state)
+                if state is not None
                 else None
             )
 
@@ -697,11 +862,14 @@ def _topk_kernel_factory(bq, space: str, k_out: int, quantized):
     (<= _QUERY_CHUNK queries at a time), one probe-membership mask indexed
     by cell (no per-query Python loop), one argpartition along axis 1.
     `quantized` is False (score exact floats), "int8" (score dequantized
-    approximations) or "onebit" (score negative hamming over packed bit
-    codes — 1 bit/dim scanned)."""
+    approximations), "pq" (score subspace-codebook reconstructions —
+    m bytes/vector scanned) or "onebit" (score negative hamming over
+    packed bit codes — 1 bit/dim scanned)."""
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_, Q_, probe_mask, qbits = bq.value  # probe_mask: (nq, nlist)
+        # probe_mask: (nq, nlist); qextra: packed query bits (onebit) or
+        # the pq codebooks, per tier
+        qids_, Q_, probe_mask, qextra = bq.value
         nq = qids_.size
         for pdf in batches:
             if not len(pdf):
@@ -713,6 +881,9 @@ def _topk_kernel_factory(bq, space: str, k_out: int, quantized):
                     len(pdf), -1
                 )
                 X = None
+            elif quantized == "pq":
+                codes = None
+                X = _pq_decode(b"".join(pdf["qcode"]), len(pdf), qextra)
             else:
                 codes = None
                 X = _dequantize(pdf) if quantized else np.stack(
@@ -722,7 +893,7 @@ def _topk_kernel_factory(bq, space: str, k_out: int, quantized):
             for q0 in range(0, nq, _QUERY_CHUNK):
                 q1 = min(q0 + _QUERY_CHUNK, nq)
                 if codes is not None:
-                    xor = qbits[q0:q1, None, :] ^ codes[None, :, :]
+                    xor = qextra[q0:q1, None, :] ^ codes[None, :, :]
                     S = -_POPCNT[xor].sum(axis=2).astype(np.float64)
                 else:
                     S = _space_similarities(Q_[q0:q1], X, space)
@@ -808,7 +979,7 @@ def search_vector_index(
     nprobe: int = 4,
     allow_ids: "list[int] | DataFrame | None" = None,
     space: str | None = None,
-    rerank_factor: int = 4,
+    rerank_factor: int | None = None,
     min_sim: float | None = None,
     max_distance: float | None = None,
 ) -> DataFrame:
@@ -824,8 +995,11 @@ def search_vector_index(
     reference's overquery trade (KNNConstants.java:90 rescore/oversample):
     raising it widens the candidate superset and can only improve recall
     (tests/test_vector_merge_quant.py exercises a case where it provably
-    does). Returns (query_id, neighbor_id, cosine, rank). `space` defaults
-    to the index's build-time space.
+    does). When `rerank_factor` is None it defaults PER TIER via
+    DEFAULT_RERANK_BY_TIER — lossier codes get a wider candidate superset
+    (the CompressionLevel.java:33-61 compression-level -> rescore-defaults
+    contract). Returns (query_id, neighbor_id, cosine, rank). `space`
+    defaults to the index's build-time space.
 
     RADIAL mode (the reference's max_distance | min_score contract,
     KNNQueryBuilder.java:64-81 / RadialQuery): set `min_sim` (raw-similarity
@@ -924,11 +1098,15 @@ def search_vector_index(
         )
 
     quant_kind = cfg.extra.get("quant_kind", "int8")
-    qbits = None
+    if rerank_factor is None:
+        rerank_factor = DEFAULT_RERANK_BY_TIER.get(quant_kind, 4)
+    qextra = None
     if quant_paths and quant_kind == "onebit":
         thr = _load_onebit_thresholds(index_dir)
-        qbits = np.packbits(Q > thr[None, :], axis=1)
-    bq = spark.sparkContext.broadcast((qids, Q, probe_mask, qbits))
+        qextra = np.packbits(Q > thr[None, :], axis=1)
+    elif quant_paths and quant_kind == "pq":
+        qextra = _load_quant_state(index_dir, "pq")[1]
+    bq = spark.sparkContext.broadcast((qids, Q, probe_mask, qextra))
     locals_: list[DataFrame] = []
     if plain_paths:
         # full-precision segments: exact scoring in one pass
@@ -947,7 +1125,7 @@ def search_vector_index(
         # final window ranks everything on exact scores
         k_traverse = max(k * rerank_factor, 50)
         quant_cols = (
-            ["vec_id", "cell", "qcode"] if quant_kind == "onebit"
+            ["vec_id", "cell", "qcode"] if quant_kind in ("onebit", "pq")
             else ["vec_id", "cell", "qcode", "qlo", "qstep"]
         )
         data_q = restricted(_read_paths(spark, quant_paths, quant_cols))
@@ -1032,7 +1210,7 @@ def search_vector_index_table(
     id_col: str = "query_id",
     vec: str = "embedding",
     space: str | None = None,
-    rerank_factor: int = 4,
+    rerank_factor: int | None = None,
     allow_ids: "list[int] | DataFrame | None" = None,
     min_sim: float | None = None,
     max_distance: float | None = None,
@@ -1090,6 +1268,11 @@ def search_vector_index_table(
     meta = IndexMeta(index_dir)
     cfg = meta.load_config()
     space = space or cfg.extra.get("space", "cosinesimil")
+    if rerank_factor is None:
+        # per-tier rescore default (CompressionLevel.java:33-61 contract)
+        rerank_factor = DEFAULT_RERANK_BY_TIER.get(
+            cfg.extra.get("quant_kind", "int8"), 4
+        )
     if min_sim_col is not None and (min_sim is not None or max_distance is not None):
         raise ValueError("min_sim_col is exclusive with per-call min_sim/max_distance")
     min_sim = _radial_threshold(space, min_sim, max_distance)
@@ -1332,13 +1515,14 @@ def search_vector_index_table(
             )
         if quant_paths:
             quant_kind = cfg.extra.get("quant_kind", "int8")
+            state2 = _load_quant_state(index_dir, quant_kind)
             bthr2 = (
-                spark.sparkContext.broadcast(_load_onebit_thresholds(index_dir))
-                if quant_kind == "onebit"
+                spark.sparkContext.broadcast(state2)
+                if state2 is not None
                 else None
             )
             quant_cols = (
-                ["vec_id", "cell", "qcode"] if quant_kind == "onebit"
+                ["vec_id", "cell", "qcode"] if quant_kind in ("onebit", "pq")
                 else ["vec_id", "cell", "qcode", "qlo", "qstep"]
             )
             data_q = masked(_read_paths(spark, quant_paths, quant_cols))
@@ -1351,13 +1535,14 @@ def search_vector_index_table(
             )
 
             def approx_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                thr = bthr2.value if bthr2 is not None else None
+                state = bthr2.value if bthr2 is not None else None
                 for pdf in batches:
                     if not len(pdf):
                         continue
                     qids = pdf["query_id"].to_numpy(np.int64)
                     nids = pdf["vec_id"].to_numpy(np.int64)
-                    if thr is not None:
+                    if state is not None and state[0] == "onebit":
+                        thr = state[1]
                         Qr = np.stack(pdf["q_emb"].to_numpy())
                         qb = np.packbits(Qr > thr[None, :], axis=1)
                         xb = np.frombuffer(b"".join(pdf["qcode"]), np.uint8).reshape(
@@ -1366,7 +1551,11 @@ def search_vector_index_table(
                         sim = -_POPCNT[qb ^ xb].sum(axis=1).astype(np.float64)
                     else:
                         Qr = np.stack(pdf["q_emb"].to_numpy())
-                        Xa = _dequantize(pdf)
+                        Xa = (
+                            _pq_decode(b"".join(pdf["qcode"]), len(pdf), state[1])
+                            if state is not None and state[0] == "pq"
+                            else _dequantize(pdf)
+                        )
                         sim = _space_sim_rowwise(Qr, Xa, space)
                     keep = nids != qids
                     if not keep.any():

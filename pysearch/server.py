@@ -157,7 +157,11 @@ def make_handler(
                         [(-1, vec)],
                         k=int(req.get("k", 10)),
                         nprobe=int(req.get("nprobe", 4)),
-                        rerank_factor=int(req.get("rerank_factor", 4)),
+                        rerank_factor=(
+                            int(req["rerank_factor"])
+                            if "rerank_factor" in req
+                            else None  # per-tier default kicks in
+                        ),
                         min_sim=req.get("min_sim"),
                         max_distance=req.get("max_distance"),
                         allow_ids=req.get("filter_ids"),
