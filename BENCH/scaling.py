@@ -81,7 +81,7 @@ def child(cpus: int, rows: int, workdir: str) -> None:
     si.search_batch(qs).collect()
     query_sec = time.time() - t0
 
-    # 10k-query TABLE through the streamed dispatch — the query-side
+    # 100k-query TABLE through the streamed dispatch — the query-side
     # throughput surface with enough parallel work to scale (the 100-query
     # batch above is one short job and stays dispatch-bound). The batch
     # kernel's parallelism is SEGMENT-grained (one cogroup task per
@@ -99,7 +99,12 @@ def child(cpus: int, rows: int, workdir: str) -> None:
         concurrency=4,
     )
     qsi = SearchIndex(spark, qidx)
-    qdf = spark.range(10_000).select(
+    # 100k queries, not 10k: at 10k the job is ~half fixed dispatch
+    # (compile, dictionary join, plan) which no core count shrinks — the
+    # measured "scaling" was the overhead ratio, not the engine. 100k
+    # amortizes the fixed part to <10% so the criterion measures the
+    # kernel path that actually dominates at the 10^6+-query regime.
+    qdf = spark.range(100_000).select(
         F.col("id").alias("query_id"),
         F.concat(
             F.lit("license tok0"), (F.col("id") % 97).cast("string"),
@@ -108,7 +113,7 @@ def child(cpus: int, rows: int, workdir: str) -> None:
     )
     qsi.search_batch_table(qdf.limit(500), default_k=3).count()  # warm
     t0 = time.time()
-    qsi.search_batch_table(qdf, default_k=3).count()
+    qsi.search_batch_table(qdf, default_k=3, chunk=25_000).count()
     table_sec = time.time() - t0
 
     # single-query latency sample (latency is driver-bound, reported for
@@ -127,8 +132,8 @@ def child(cpus: int, rows: int, workdir: str) -> None:
                 "build_sec": round(build_sec, 3),
                 "build_docs_per_sec": round(docs / build_sec, 2),
                 "query_batch_sec": round(query_sec, 3),
-                "table_10k_sec": round(table_sec, 3),
-                "table_queries_per_sec": round(10_000 / table_sec, 1),
+                "table_100k_sec": round(table_sec, 3),
+                "table_queries_per_sec": round(100_000 / table_sec, 1),
                 "queries": len(qs),
                 "batch_queries_per_sec": round(len(qs) / query_sec, 2),
                 "single_query_avg_sec": round(single_sec, 4),
@@ -206,7 +211,7 @@ def main() -> None:
         best = min(trials, key=lambda r: r["build_sec"])
         best = dict(best)
         best["query_batch_sec"] = min(t["query_batch_sec"] for t in trials)
-        best["table_10k_sec"] = min(t["table_10k_sec"] for t in trials)
+        best["table_100k_sec"] = min(t["table_100k_sec"] for t in trials)
         best["table_queries_per_sec"] = max(
             t["table_queries_per_sec"] for t in trials
         )
@@ -219,7 +224,7 @@ def main() -> None:
     hi, hi_trials = best_of(args.n * 4)
     eff_build = (lo["build_sec"] / hi["build_sec"]) / 4
     eff_query = (lo["query_batch_sec"] / hi["query_batch_sec"]) / 4
-    eff_table = (lo["table_10k_sec"] / hi["table_10k_sec"]) / 4
+    eff_table = (lo["table_100k_sec"] / hi["table_100k_sec"]) / 4
     result = {
         "rows": args.rows,
         "cores_low": args.n,

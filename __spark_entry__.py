@@ -282,6 +282,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bm25_bruteforce_scan"] = brute
 
+    # events/rel entries registered EARLY: they are cheap single-shuffle
+    # aggregations, and a driver-side query-count/time cap must never
+    # drop them behind the expensive ANN index builds (their r4 rows
+    # went unchecked for exactly that reason)
+    # ---- event-stream analytics (windowed aggs / sessions / profiles) -----
+    def _events(s, d):
+        return s.read.parquet(f"{d}/events.parquet")
+
+    from pysearch.ops import events as events_ops
+
+    q["events_windowed_counts"] = lambda s, d: events_ops.tumbling_counts(
+        _events(s, d)
+    )
+    q["events_sessionize"] = lambda s, d: events_ops.sessionize(_events(s, d), 30)
+    q["events_user_rollup"] = lambda s, d: events_ops.user_rollup(_events(s, d))
+
+    # ---- relational internals demonstrated standalone (SURVEY §2.5:
+    # aggregations / broadcast joins / windows are what the engine composes
+    # internally — dictionary rollups, candidate joins, grouped top-k) ------
+    def rel_agg(s, d):
+        li = s.read.parquet(f"{d}/lineitem.parquet")
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                ).alias("sum_disc_price"),
+                F.count(F.lit(1)).cast("long").alias("count_order"),
+            )
+        )
+
+    q["rel_pricing_summary"] = rel_agg
+
+    def rel_join(s, d):
+        o = s.read.parquet(f"{d}/orders.parquet")
+        c = s.read.parquet(f"{d}/customer.parquet")
+        return (
+            o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_custkey", "c_name")
+            .agg(
+                F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+            )
+            .orderBy(F.desc(F.round(F.col("total_spent"), 9)), F.asc("c_custkey"))
+            .limit(10)
+        )
+
+    q["rel_top_customers"] = rel_join
+
+    def rel_window(s, d):
+        from pyspark.sql import Window as W
+
+        o = s.read.parquet(f"{d}/orders.parquet")
+        w = W.partitionBy("o_orderpriority").orderBy(
+            F.desc(F.round(F.col("o_totalprice"), 9)), F.asc("o_orderkey")
+        )
+        return (
+            o.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select(
+                "o_orderpriority",
+                F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                F.round("o_totalprice", 4).alias("o_totalprice"),
+                F.col("rk").cast("long").alias("rk"),
+            )
+        )
+
+    q["rel_top_orders_per_priority"] = rel_window
+
     # ---- grouped retrieval (Q13 analog: per-parent best child) -----------
     def group_top1(s, d):
         docs = _docs(s, d).select(
@@ -369,6 +441,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id"
         ].iloc[0]
         assert int(out.loc[out["mmr_rank"] == 1, "doc_id"].iloc[0]) == int(top_rel)
+
+        # EXACT oracle: a second, independently-written greedy MMR — pure
+        # Python scan with explicit strict-greater comparisons over the same
+        # (relevance desc, doc_id asc) candidate order (the engine's argmax
+        # tie rule), per-pair cosines via math.fsum instead of the engine's
+        # BLAS matrix product. The full selection sequence must match.
+        import math as _math
+
+        order = cand.sort_values(["score", "doc_id"], ascending=[False, True])
+        o_ids = [int(x) for x in order["doc_id"]]
+        o_rel = [float(x) for x in order["score"]]
+
+        def _unit(v):
+            n_ = _math.sqrt(_math.fsum(x * x for x in v)) or 1e-12
+            return [x / n_ for x in v]
+
+        o_vecs = [_unit(embs[i]) for i in o_ids]
+
+        def _cos(a, b):
+            return _math.fsum(x * y for x, y in zip(a, b))
+
+        lam_ = 0.5
+        picked: list[int] = []
+        picked_idx: list[int] = []
+        maxsim = [float("-inf")] * len(o_ids)
+        for _ in range(min(10, len(o_ids))):
+            best_i, best_v = None, None
+            for i in range(len(o_ids)):
+                if i in picked_idx:
+                    continue
+                div = maxsim[i] if picked_idx else 0.0
+                v = (1 - lam_) * o_rel[i] - lam_ * (div if picked_idx else 0.0)
+                if best_v is None or v > best_v:  # strict: first index wins ties
+                    best_i, best_v = i, v
+            picked_idx.append(best_i)
+            picked.append(o_ids[best_i])
+            for i in range(len(o_ids)):
+                sim_ = _cos(o_vecs[best_i], o_vecs[i])
+                if sim_ > maxsim[i]:
+                    maxsim[i] = sim_
+        got_seq = [
+            int(x) for x in out.sort_values("mmr_rank")["doc_id"]
+        ]
+        assert got_seq == picked, (got_seq, picked)
         return s.createDataFrame(
             out[["doc_id", "mmr_rank"]], "doc_id long, mmr_rank long"
         )
@@ -657,6 +773,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_onebit_rerank"] = ivf_onebit
 
+    # ---- subspace product-quantization tier (computePqVectors analog,
+    # JVectorIndexQuantization.java:114-140): m-byte codes (16x at the
+    # default m=dim/4), codebook-decoded traversal + exact rerank — full
+    # probe with oversample = rank-identical to the exact oracle ----------
+    def ivf_pq(s, d):
+        from pysearch.ops.vector_index import build_vector_index, search_vector_index
+
+        idx = _index_dir(d, "ivf_pq5")
+        emb = _emb(s, d)
+        build_vector_index(
+            s, emb, idx, nlist=8, seed=42, quantize=True, quant_kind="pq"
+        )
+        # compression contract asserted IN-GATE: <= dim/4 bytes per vector
+        import glob as _glob
+        import json as _json
+        import os as _os
+
+        st = _json.load(open(_os.path.join(idx, "quant_state.json")))
+        assert st["kind"] == "pq" and st["m"] <= st["dim"] // 4, st
+        qrows = emb.where("vec_id < 4").collect()
+        queries_v = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+        out = search_vector_index(s, idx, queries_v, k=10, nprobe=8, rerank_factor=12)
+        return out.select("query_id", "neighbor_id", "rank")
+
+    q["ann_ivf_pq_rerank"] = ivf_pq
+
+    # ---- hamming space on the persisted IVF path (SpaceType.java:43-160
+    # HAMMING as a first-class index space): binary vectors derived
+    # deterministically from the embeddings (bit = dim > 0), binary k-means
+    # cells (majority-bit centroids), POPCNT traversal; full probe = exact --
+    def ivf_hamming(s, d):
+        from pysearch.ops.vector_index import build_vector_index, search_vector_index
+
+        idx = _index_dir(d, "ivf_ham5")
+        emb = _emb(s, d)
+        bits = emb.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.when(x > 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+            ).alias("embedding"),
+        )
+        build_vector_index(s, bits, idx, nlist=8, seed=42, space="hamming")
+        qrows = bits.where("vec_id < 4").collect()
+        queries_v = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+        out = search_vector_index(s, idx, queries_v, k=10, nprobe=8)
+        # reported cosine = raw sim = negative bit distance (exact integers)
+        return out.select(
+            "query_id", "neighbor_id",
+            (-F.col("cosine")).cast("long").alias("hamming"), "rank",
+        )
+
+    q["ann_ivf_hamming"] = ivf_hamming
+
     # ---- radial vector search (max_distance | min_score contract,
     # KNNQueryBuilder.java:64-81): unbounded threshold mode, exact tier -----
     def ivf_radial(s, d):
@@ -801,73 +971,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup.simhash_signatures(_docs(s, d)), [0, 1, 2, 3, 4], k=10
     )
 
-    # ---- event-stream analytics (windowed aggs / sessions / profiles) -----
-    def _events(s, d):
-        return s.read.parquet(f"{d}/events.parquet")
-
-    from pysearch.ops import events as events_ops
-
-    q["events_windowed_counts"] = lambda s, d: events_ops.tumbling_counts(
-        _events(s, d)
-    )
-    q["events_sessionize"] = lambda s, d: events_ops.sessionize(_events(s, d), 30)
-    q["events_user_rollup"] = lambda s, d: events_ops.user_rollup(_events(s, d))
-
-    # ---- relational internals demonstrated standalone (SURVEY §2.5:
-    # aggregations / broadcast joins / windows are what the engine composes
-    # internally — dictionary rollups, candidate joins, grouped top-k) ------
-    def rel_agg(s, d):
-        li = s.read.parquet(f"{d}/lineitem.parquet")
-        return (
-            li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(
-                F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-                F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-                F.round(
-                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-                ).alias("sum_disc_price"),
-                F.count(F.lit(1)).cast("long").alias("count_order"),
-            )
-        )
-
-    q["rel_pricing_summary"] = rel_agg
-
-    def rel_join(s, d):
-        o = s.read.parquet(f"{d}/orders.parquet")
-        c = s.read.parquet(f"{d}/customer.parquet")
-        return (
-            o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-            .groupBy("c_custkey", "c_name")
-            .agg(
-                F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
-                F.count(F.lit(1)).cast("long").alias("n_orders"),
-            )
-            .orderBy(F.desc(F.round(F.col("total_spent"), 9)), F.asc("c_custkey"))
-            .limit(10)
-        )
-
-    q["rel_top_customers"] = rel_join
-
-    def rel_window(s, d):
-        from pyspark.sql import Window as W
-
-        o = s.read.parquet(f"{d}/orders.parquet")
-        w = W.partitionBy("o_orderpriority").orderBy(
-            F.desc(F.round(F.col("o_totalprice"), 9)), F.asc("o_orderkey")
-        )
-        return (
-            o.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= 3)
-            .select(
-                "o_orderpriority",
-                F.col("o_orderkey").cast("long").alias("o_orderkey"),
-                F.round("o_totalprice", 4).alias("o_totalprice"),
-                F.col("rk").cast("long").alias("rk"),
-            )
-        )
-
-    q["rel_top_orders_per_priority"] = rel_window
     return q
 
 
@@ -1298,6 +1401,42 @@ SELECT query_id, neighbor_id, rank FROM (
                     x.vec_id ASC
          ) AS rank
   FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
+  WHERE q.vec_id < 4
+) WHERE rank <= 10
+"""
+    # pq tier: full probe + oversampled exact rerank == exact top-k, same
+    # oracle shape as the other quantized tiers
+    o["ann_ivf_pq_rerank"] = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(q.embedding, x.embedding), 9) DESC,
+                    x.vec_id ASC
+         ) AS rank
+  FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
+  WHERE q.vec_id < 4
+) WHERE rank <= 10
+"""
+    # hamming over thresholded bits: integer distances, so VALUES verify
+    # exactly (ties by neighbor_id ascending like every other space)
+    o["ann_ivf_hamming"] = """
+WITH b AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS bits
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, hamming, rank FROM (
+  SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
+         list_sum(list_transform(list_zip(q.bits, x.bits),
+                  p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END))::BIGINT AS hamming,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_sum(list_transform(list_zip(q.bits, x.bits),
+                    p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END)) ASC,
+                    x.vec_id ASC
+         ) AS rank
+  FROM b q JOIN b x ON x.vec_id <> q.vec_id
   WHERE q.vec_id < 4
 ) WHERE rank <= 10
 """

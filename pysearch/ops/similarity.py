@@ -34,7 +34,17 @@ def _normalize(X: np.ndarray) -> np.ndarray:
 # reference's Lucene-range score translation.
 # ---------------------------------------------------------------------------
 
-SPACES = ("cosinesimil", "l2", "l1", "linf", "innerproduct")
+SPACES = ("cosinesimil", "l2", "l1", "linf", "innerproduct", "hamming")
+
+_POPCNT_TBL = np.array([bin(i).count("1") for i in range(256)], dtype=np.int32)
+
+
+def _pack_binary(M: np.ndarray) -> np.ndarray:
+    """Bit-pack rows at the 0.5 threshold: binary (0/1) vectors pack
+    exactly; FRACTIONAL rows (k-means cell centroids over binary data)
+    binarize to the per-bit majority — the hamming-median, the proper
+    binary k-means representative."""
+    return np.packbits(np.asarray(M, dtype=np.float64) > 0.5, axis=1)
 
 
 def _space_similarities(Q: np.ndarray, X: np.ndarray, space: str) -> np.ndarray:
@@ -53,6 +63,14 @@ def _space_similarities(Q: np.ndarray, X: np.ndarray, space: str) -> np.ndarray:
         return -np.abs(Q[:, None, :] - X[None, :, :]).sum(axis=2)
     if space == "linf":
         return -np.abs(Q[:, None, :] - X[None, :, :]).max(axis=2)
+    if space == "hamming":
+        # binary vectors (SpaceType.java HAMMING): negative bit distance
+        # via packbits + POPCNT lookup — dim/8 bytes per row in the xor
+        # tensor instead of dim floats
+        qb, xb = _pack_binary(Q), _pack_binary(X)
+        return -_POPCNT_TBL[qb[:, None, :] ^ xb[None, :, :]].sum(axis=2).astype(
+            np.float64
+        )
     raise ValueError(f"unknown space {space!r}; one of {SPACES}")
 
 
@@ -64,7 +82,8 @@ def space_score(space: str, sim: np.ndarray) -> np.ndarray:
         return np.maximum((2.0 - (1.0 - sim)) / 2.0, 0.0)  # (1+cos)/2
     if space == "l2":
         return 1.0 / (1.0 - sim)  # sim = -d^2  ->  1/(1+d^2)
-    if space in ("l1", "linf"):
+    if space in ("l1", "linf", "hamming"):
+        # hamming translation is the reference's 1/(1+d) with sim = -d
         return 1.0 / (1.0 - sim)
     if space == "innerproduct":
         # raw library score is -dot; translation: dot>=0 -> dot+1, else 1/(1-dot)
@@ -221,18 +240,36 @@ def train_centroids(
     seed: int = 42,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    space: str = "cosinesimil",
 ) -> np.ndarray:
     """Deterministic mini k-means: seeded reservoir-free sample (lowest
     hashed ids — order-independent), kmeans++-lite init, `iters` Lloyd steps
-    on the driver. Centroids are small metadata (nlist x dim)."""
+    on the driver. Centroids are small metadata (nlist x dim).
+
+    Spherical (unit-norm) k-means for the float spaces; `space="hamming"`
+    switches to binary k-means — no normalization (a unit-normalized binary
+    mean would pack to all-zero bits and collapse every centroid), fractional
+    means kept as-is (their 0.5-threshold packing is the per-bit majority =
+    the hamming-median), assignment by true bit distance."""
     rows = (
         emb.select(id_col, vec)
         .orderBy(F.md5(F.col(id_col).cast("string")))
         .limit(sample)
         .collect()
     )
-    X = _normalize(np.array([r[vec] for r in rows], dtype=np.float64))
+    raw = np.array([r[vec] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
+    if space == "hamming":
+        X = raw
+        C = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()
+        for _ in range(iters):
+            assign = np.argmax(_space_similarities(X, C, "hamming"), axis=1)
+            for c in range(C.shape[0]):
+                m = assign == c
+                if m.any():
+                    C[c] = X[m].mean(axis=0)
+        return C
+    X = _normalize(raw)
     C = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
     for _ in range(iters):
         assign = np.argmax(X @ C.T, axis=1)

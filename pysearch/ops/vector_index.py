@@ -474,7 +474,9 @@ def build_vector_index(
     cfg = meta.load_config()
     q_seg = _quantize_segment(cfg, emb.count)
 
-    C = train_centroids(emb, nlist=nlist, seed=seed, id_col=id_col, vec=vec)
+    C = train_centroids(
+        emb, nlist=nlist, seed=seed, id_col=id_col, vec=vec, space=space
+    )
     _write_json_atomic(
         os.path.join(index_dir, "centroids.json"),
         {"nlist": int(C.shape[0]), "dim": int(C.shape[1]), "centroids": C.tolist()},
@@ -939,6 +941,11 @@ def _space_sim_rowwise(Qr: np.ndarray, X: np.ndarray, space: str) -> np.ndarray:
         return -np.abs(Qr - X).sum(axis=1)
     if space == "linf":
         return -np.abs(Qr - X).max(axis=1)
+    if space == "hamming":
+        from pysearch.ops.similarity import _pack_binary
+
+        qb, xb = _pack_binary(Qr), _pack_binary(X)
+        return -_POPCNT[qb ^ xb].sum(axis=1).astype(np.float64)
     raise ValueError(f"unknown space {space!r}")
 
 
@@ -966,7 +973,7 @@ def _radial_threshold(
         return 1.0 - max_distance
     if space == "l2":
         return -(max_distance ** 2)
-    if space in ("l1", "linf"):
+    if space in ("l1", "linf", "hamming"):
         return -max_distance
     raise ValueError("max_distance is undefined for innerproduct; use min_sim")
 

@@ -609,3 +609,61 @@ def test_per_tier_rescore_defaults(spark, tmp_path):
         for r in search_vector_index(spark, idx, q, k=10, nprobe=2).collect()
     }
     assert len(got & set(true_ids)) == 10
+
+
+def test_hamming_space_persisted_ivf(spark, tmp_index):
+    """Hamming as a first-class persisted-index space (SpaceType.java:43-160):
+    binary 0/1 vectors, binary k-means cells (fractional means pack to the
+    per-bit majority), POPCNT traversal — full probe is exact vs a numpy
+    brute force, radial honors max_distance as a bit budget, and the table
+    path matches the driver-list path."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from pysearch.ops.vector_index import search_vector_index_table
+
+    rng = np.random.default_rng(11)
+    dim = 64
+    rows = [(i, [float(b) for b in rng.integers(0, 2, dim)]) for i in range(800)]
+    df = spark.createDataFrame(rows, T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]))
+    build_vector_index(spark, df, tmp_index, nlist=8, seed=42, space="hamming")
+
+    qs = [(9000 + i, rows[i][1]) for i in range(3)]
+    got = search_vector_index(spark, tmp_index, qs, k=10, nprobe=8).collect()
+    X = np.array([r[1] for r in rows], dtype=np.int64)
+    ids = np.array([r[0] for r in rows])
+    for qid, qv in qs:
+        d = np.abs(X - np.array(qv, dtype=np.int64)).sum(axis=1)
+        order = np.lexsort((ids, d))
+        exp = list(ids[order][:10])
+        mine = [
+            r["neighbor_id"]
+            for r in sorted(
+                (g for g in got if g["query_id"] == qid), key=lambda r: r["rank"]
+            )
+        ]
+        assert mine == exp
+        # reported sim is the exact negative bit distance
+        for r in got:
+            if r["query_id"] == qid:
+                ni = int(np.flatnonzero(ids == r["neighbor_id"])[0])
+                assert -r["cosine"] == d[ni]
+
+    # radial: max_distance is a bit budget
+    rad = search_vector_index(spark, tmp_index, qs[:1], nprobe=8, max_distance=20)
+    assert all(-r["cosine"] <= 20 for r in rad.collect())
+
+    # table parity
+    qdf = spark.createDataFrame(qs, T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]))
+    key = lambda rows_: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in rows_
+    )
+    tgot = search_vector_index_table(spark, tmp_index, qdf, k=10, nprobe=8).collect()
+    assert key(tgot) == key(got)
