@@ -1661,10 +1661,74 @@ SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_events,
        max(json_extract_string(props, '$.k')::BIGINT) AS max_prop_k
 FROM events GROUP BY user_id
 """
-    # rows-only entries (mmr_rerank_topk, embedding_neardup_lsh,
-    # ann_cosine_ivf): approximation quality is parameter-dependent, so no
-    # SQL oracle — but each callable ASSERTS its contract in-gate (recall
-    # floor / precision-1.0 subset / MMR first-pick + subset invariants) and
-    # emits the measured metric as an output column; tests/test_entry.py
-    # double-checks the same invariants.
+    # greedy MMR as a RECURSIVE CTE (the full deterministic selection loop
+    # in SQL): same BM25 top-30 candidate stage as the engine, restricted to
+    # docs with embeddings, then step-by-step argmax of
+    # (1-λ)·rel − λ·max_cos_to_picked with the engine's tie rule (mmr desc,
+    # rel desc, doc_id asc — ties in mmr resolve to the earlier candidate in
+    # (rel desc, id asc) order, which is what the kernel's first-max argmax
+    # does). Converts the former no_oracle row to an exact driver check; the
+    # in-gate fsum-based second implementation still runs as well.
+    o["mmr_rerank_topk"] = f"""
+WITH RECURSIVE
+corpus AS (SELECT * FROM documents),
+tok AS (
+  SELECT doc_id, unnest({tok}) AS term FROM corpus
+),
+stats AS (
+  SELECT (SELECT count(*) FROM corpus) AS n,
+         (SELECT count(*) FROM tok) * 1.0 / (SELECT count(*) FROM corpus) AS avgdl
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+  WHERE term IN ('merge','join','filter','stream') GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+  WHERE term IN ('merge','join','filter','stream') GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl))) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+top30 AS (
+  SELECT doc_id, s FROM scored ORDER BY round(s, 9) DESC, doc_id ASC LIMIT 30
+),
+cand AS (
+  SELECT t.doc_id, t.s AS rel,
+         list_transform(e.embedding,
+           x -> x / sqrt(list_sum(list_transform(e.embedding, y -> y*y)))) AS u
+  FROM top30 t JOIN embeddings e ON e.vec_id = t.doc_id
+),
+sel AS (
+  SELECT * FROM (
+    SELECT 1 AS step, [doc_id] AS picked, doc_id AS last_pick
+    FROM cand ORDER BY rel DESC, doc_id ASC LIMIT 1
+  )
+  UNION ALL
+  SELECT s.step + 1, list_append(s.picked, nxt.doc_id), nxt.doc_id
+  FROM sel s,
+  LATERAL (
+    SELECT n.doc_id
+    FROM cand n
+    WHERE NOT list_contains(s.picked, n.doc_id)
+    ORDER BY (0.5 * n.rel - 0.5 * (
+        SELECT max(list_sum(list_transform(list_zip(n.u, p.u), z -> z[1]*z[2])))
+        FROM cand p WHERE list_contains(s.picked, p.doc_id)
+      )) DESC, n.rel DESC, n.doc_id ASC
+    LIMIT 1
+  ) nxt
+  WHERE s.step < 10
+)
+SELECT last_pick::BIGINT AS doc_id, step::BIGINT AS mmr_rank FROM sel
+"""
+    # rows-only entries (embedding_neardup_lsh, ann_cosine_ivf):
+    # approximation quality is parameter-dependent, so no SQL oracle — but
+    # each callable ASSERTS its contract in-gate (recall floor /
+    # precision-1.0 subset) and emits the measured metric as an output
+    # column; tests/test_entry.py double-checks the same invariants.
     return o
