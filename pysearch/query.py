@@ -1377,6 +1377,13 @@ def _metrics_schema():
     )
 
 
+# dense-accumulator range guard for the batch kernel: segments whose doc-id
+# range exceeds max(4x live postings, this cap) fall back to the sort path
+# (a merged segment can own a sparse range after deletes/remaps). Module
+# constant so tests can force either path and assert rank identity on both.
+_DENSE_RANGE_CAP = 1 << 21
+
+
 def _batch_search_factory(qinfos, k1, b, avgdl_map):
     """Batch kernel: queries AMORTIZE decode work. Each term's posting list
     is decoded ONCE per segment (not once per query) and its tf-norm —
@@ -1385,6 +1392,10 @@ def _batch_search_factory(qinfos, k1, b, avgdl_map):
     (ids, idf*tfnorm) arrays and sum per doc (unique + bincount). Exact BM25,
     rank-identical to the single-query block-max path (which stays the
     latency-optimal choice when nothing amortizes)."""
+    # captured BY VALUE at factory time (driver-side): the kernel closure is
+    # pickled to python workers, where a module-global would re-import fresh
+    # — this is what lets tests pin the cap to force either scoring path
+    dense_cap = _DENSE_RANGE_CAP
 
     def kernel(blocks: pd.DataFrame, restrict: pd.DataFrame) -> pd.DataFrame:
         from pysearch.codec import decode_blocks_batch
@@ -1483,7 +1494,8 @@ def _batch_search_factory(qinfos, k1, b, avgdl_map):
             lo = min(int(p[0]) for p in parts_i)  # per-term ids are sorted
             hi = max(int(p[-1]) for p in parts_i)
             rng_size = hi - lo + 1
-            if rng_size <= max(4 * ids_all.size, 1 << 21):
+            # dense_cap < 0 disables the dense path outright (test hook)
+            if dense_cap >= 0 and rng_size <= max(4 * ids_all.size, dense_cap):
                 rel = ids_all - lo
                 acc = np.bincount(rel, weights=sc_all, minlength=rng_size)
                 if all(v > 0.0 for v in info["idf"].values()):
