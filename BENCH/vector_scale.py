@@ -47,7 +47,10 @@ def synth_embeddings(spark, n: int, dim: int):
     )
 
 
-def run_level(spark, n: int, dim: int, nlist: int, queries: int, workdir: str) -> dict:
+def run_level(
+    spark, n: int, dim: int, nlist: int, queries: int, workdir: str,
+    quant_kind: str = "int8",
+) -> dict:
     from pysearch.ops.similarity import cosine_topk
     from pysearch.ops.vector_index import (
         build_vector_index,
@@ -57,9 +60,12 @@ def run_level(spark, n: int, dim: int, nlist: int, queries: int, workdir: str) -
 
     emb = synth_embeddings(spark, n, dim).persist()
     emb.count()  # materialize outside the build timer
-    idx = os.path.join(workdir, f"vidx_{n}")
+    idx = os.path.join(workdir, f"vidx_{quant_kind}_{n}")
     t0 = time.time()
-    build_vector_index(spark, emb, idx, nlist=nlist, seed=42, quantize=True)
+    build_vector_index(
+        spark, emb, idx, nlist=nlist, seed=42, quantize=True,
+        quant_kind=quant_kind,
+    )
     build_sec = time.time() - t0
 
     qtab = emb.where(F.col("vec_id") < queries).select(
@@ -86,6 +92,7 @@ def run_level(spark, n: int, dim: int, nlist: int, queries: int, workdir: str) -
     emb.unpersist()
     return {
         "n_vectors": n,
+        "quant_kind": quant_kind,
         "nlist": nlist,
         "build_sec": round(build_sec, 2),
         "build_vecs_per_sec": round(n / build_sec, 1),
@@ -134,6 +141,14 @@ def main() -> None:
                 spark, args.big, args.dim,
                 nlist=max(int(math.sqrt(args.big)) // 2, 16),
                 queries=args.queries, workdir=work,
+            ),
+            # pq tier at the big level: 16x codes (m = dim/4) through the
+            # same build + 10k-query table protocol, recall measured with
+            # the tier-default rerank oversample
+            "big_pq": run_level(
+                spark, args.big, args.dim,
+                nlist=max(int(math.sqrt(args.big)) // 2, 16),
+                queries=args.queries, workdir=work, quant_kind="pq",
             ),
         }
         out["build_throughput_ratio_big_vs_small"] = round(
