@@ -112,8 +112,14 @@ def main(argv: list[str] | None = None) -> int:
     pvb.add_argument("--space", default="cosinesimil")
     pvb.add_argument("--quantize", action="store_true",
                      help="add the compressed traversal tier (exact rerank at query)")
-    pvb.add_argument("--quant-kind", default="int8", choices=("int8", "onebit"),
-                     help="int8 min/max codes or one-bit mean-threshold codes")
+    pvb.add_argument("--quant-kind", default="int8",
+                     choices=("int8", "onebit", "pq"),
+                     help="int8 min/max codes, one-bit mean-threshold codes, "
+                          "or subspace product quantization (16x at the "
+                          "default dim/4 subspaces)")
+    pvb.add_argument("--pq-m", type=int, default=None,
+                     help="pq subspace count (must divide dim; default = "
+                          "the reference's dim->subspaces table)")
     pvb.add_argument("--cpus", default=None)
 
     pvs = sub.add_parser("vector-search")
@@ -123,9 +129,10 @@ def main(argv: list[str] | None = None) -> int:
                           "(distributed table search)")
     pvs.add_argument("--k", type=int, default=10)
     pvs.add_argument("--nprobe", type=int, default=4)
-    pvs.add_argument("--rerank-factor", type=int, default=4,
-                     help="candidate oversample on quantized indexes "
-                          "(the overquery analog; recall-governing)")
+    pvs.add_argument("--rerank-factor", type=int, default=None,
+                     help="candidate oversample on quantized indexes (the "
+                          "overquery analog; recall-governing). Unset = the "
+                          "tier default: int8 4, pq 8, onebit 70")
     pvs.add_argument("--min-sim", type=float, default=None,
                      help="RADIAL mode: every neighbor at/above this raw "
                           "similarity, unbounded (k ignored)")
@@ -263,6 +270,7 @@ def main(argv: list[str] | None = None) -> int:
         meta = build_vector_index(
             spark, emb, args.index, nlist=args.nlist, space=args.space,
             quantize=args.quantize, quant_kind=args.quant_kind,
+            pq_m=args.pq_m,
         )
         docs = sum(m["num_docs"] for m in meta.live_manifests().values())
         print(json.dumps({"indexed_vectors": docs, "sec": time.time() - t0}))
