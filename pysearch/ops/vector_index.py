@@ -283,7 +283,9 @@ def _load_quant_state(index_dir: str, quant_kind: str):
     return None
 
 
-_POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int32)
+# single popcount lookup table for the whole package (defined alongside the
+# hamming space + _pack_binary it serves)
+from pysearch.ops.similarity import _POPCNT_TBL as _POPCNT  # noqa: E402
 
 
 def _onebit_codes(X: np.ndarray, thr: np.ndarray) -> list[bytes]:

@@ -492,8 +492,17 @@ class SearchIndex:
                             spark.conf.set(k_, v)
                         else:
                             spark.conf.unset(k_)
-                    except Exception:
-                        pass
+                    except Exception as exc:  # pragma: no cover - conf race
+                        # a silently-stuck override is the exact leak this
+                        # block exists to prevent — make the failure visible
+                        import warnings as _warnings
+
+                        _warnings.warn(
+                            f"failed to restore Spark conf {k_!r}: {exc}; "
+                            "the single-query override may still be active",
+                            RuntimeWarning,
+                            stacklevel=2,
+                        )
                 _CONF_LOCK.release()
 
         return ctx()
@@ -1146,7 +1155,9 @@ class SearchIndex:
         max_chunk_rows = 0
         # phrase JSON memoization: real tables repeat "[]" (and a few phrase
         # shapes) across most rows — one parse per DISTINCT string, shared
-        # read-only by the qinfos
+        # read-only by the qinfos. Scoped PER CHUNK (reset below) so driver
+        # memory stays O(chunk) even at 10^6+ distinct phrase shapes; the
+        # repetition the cache exploits is within-chunk anyway.
         ph_cache: dict[str, list] = {}
 
         def _load_phrases(s: str) -> list:
@@ -1158,6 +1169,7 @@ class SearchIndex:
         import pandas as _pd
 
         for c in range(n_chunks):
+            ph_cache.clear()
             src = (
                 compiled_df
                 if chunked is None
@@ -1503,8 +1515,13 @@ def _batch_search_factory(qinfos, k1, b, avgdl_map):
                 else:
                     # a zero query-time field weight can leave a matched doc
                     # at score 0.0 — parity with the sort path (which keeps
-                    # it) needs a presence pass, not a nonzero-score test
-                    nz = np.flatnonzero(np.bincount(rel, minlength=rng_size))
+                    # it) needs a presence pass, not a nonzero-score test.
+                    # Boolean scatter, not a second bincount: one byte/slot
+                    # and no float adds, so the non-positive-idf branch costs
+                    # ~half the scatter work of the weighted pass
+                    present = np.zeros(rng_size, dtype=bool)
+                    present[rel] = True
+                    nz = np.flatnonzero(present)
                 ids = nz + lo
                 scores = acc[nz]
             else:
