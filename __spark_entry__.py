@@ -232,9 +232,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # ---- BM25 engine path (I1-I8, B1-B8, Q1-Q11, M1-M8 underneath) -------
-    q["bm25_topk_single"] = lambda s, d: _search(s, d, Query(text=Q_SINGLE, k=10))
-    q["bm25_topk_multi"] = lambda s, d: _search(s, d, Query(text=Q_MULTI, k=10))
-    q["bm25_topk_k100"] = lambda s, d: _search(s, d, Query(text=Q_K100, k=100))
+    # single-term / multi-term / k=100 top-k consolidated into ONE gate row
+    # (query_id discriminator) so the driver's 50-row cap always covers the
+    # whole registered surface (r5 left 8 tail rows unchecked)
+    def topk_modes(s, d):
+        parts = [
+            (0, Query(text=Q_SINGLE, k=10)),
+            (1, Query(text=Q_MULTI, k=10)),
+            (2, Query(text=Q_K100, k=100)),
+        ]
+        outs = [
+            _search(s, d, qq).select(
+                F.lit(qid).cast("long").alias("query_id"), "doc_id", "score"
+            )
+            for qid, qq in parts
+        ]
+        out = outs[0]
+        for x in outs[1:]:
+            out = out.unionByName(x)
+        return out
+
+    q["bm25_topk_modes"] = topk_modes
     q["bm25_filtered"] = lambda s, d: _search(
         s, d, Query(text=Q_FILTERED, k=10, filter_expr="lang = 'de'")
     )
@@ -492,24 +510,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mmr_rerank_topk"] = mmr
 
     # ---- text analysis ----------------------------------------------------
-    q["text_token_stats"] = lambda s, d: text_ops.token_stats(_docs(s, d))
-    q["text_bpe_token_stats"] = lambda s, d: text_ops.bpe_token_stats(_docs(s, d))
+    # word-level + BPE-ish token stats joined into ONE wide row per doc
+    # (cap-proofing consolidation; both operators still run end-to-end)
+    q["text_token_stats"] = lambda s, d: text_ops.token_stats(_docs(s, d)).join(
+        text_ops.bpe_token_stats(_docs(s, d)), "doc_id"
+    )
     q["text_quality_score"] = lambda s, d: text_ops.quality_score(_docs(s, d))
     q["text_language_id"] = lambda s, d: text_ops.language_id(_docs(s, d)).select(
         "doc_id", "lang_guess"
     )
-    q["text_fingerprint"] = lambda s, d: text_ops.fingerprint(_docs(s, d))
-    q["text_winnow_fingerprint"] = lambda s, d: text_ops.winnow_fingerprints(
-        _docs(s, d)
-    ).select("doc_id", F.explode("sig").alias("h"))
+    # md5 whole-doc fingerprint + winnowing k-gram minima in ONE row set
+    # (kind discriminator; winnow hashes rendered as strings for the union)
+    def fingerprints(s, d):
+        md5 = text_ops.fingerprint(_docs(s, d)).select(
+            "doc_id", F.lit("md5").alias("kind"), F.col("fingerprint").alias("h")
+        )
+        win = (
+            text_ops.winnow_fingerprints(_docs(s, d))
+            .select("doc_id", F.explode("sig").alias("hh"))
+            .select(
+                "doc_id", F.lit("winnow").alias("kind"),
+                F.col("hh").cast("string").alias("h"),
+            )
+        )
+        return md5.unionByName(win)
+
+    q["text_fingerprints"] = fingerprints
 
     # ---- dedup -------------------------------------------------------------
     q["dedup_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d))
-    q["dedup_jaccard_pairs"] = lambda s, d: dedup.jaccard_pairs(_docs(s, d), tau=0.95)
-    # word-3-gram shingle tier (the ngram>1 path; tighter near-dup notion)
-    q["dedup_jaccard_3gram"] = lambda s, d: dedup.jaccard_pairs(
-        _docs(s, d), tau=0.8, ngram=3
-    )
+
+    # unigram (tau=0.95) + word-3-gram (tau=0.8) shingle tiers in ONE row
+    # set, ngram column as the discriminator
+    def jaccard_modes(s, d):
+        uni = dedup.jaccard_pairs(_docs(s, d), tau=0.95).select(
+            F.lit(1).cast("long").alias("ngram"), "id_a", "id_b", "jaccard"
+        )
+        tri = dedup.jaccard_pairs(_docs(s, d), tau=0.8, ngram=3).select(
+            F.lit(3).cast("long").alias("ngram"), "id_a", "id_b", "jaccard"
+        )
+        return uni.unionByName(tri)
+
+    q["dedup_jaccard_modes"] = jaccard_modes
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
         _docs(s, d), tau=0.95, num_hashes=64, bands=16
     ).select("id_a", "id_b")
@@ -517,11 +559,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_neardup"] = lambda s, d: dedup.embedding_neardup_exact(
         _emb(s, d), tau=0.35
     )
-    # hyperplane-LSH near-dup (no SQL oracle — recall/precision vs the exact
-    # pair set are machine-checked IN-GATE and emitted as a metric column)
+    # hyperplane-LSH near-dup — NOW EXACT-ORACLE-CHECKED: sql_planes=True
+    # derives the ±1 plane signs from the SQL-replicable poly_hash63 parity
+    # and projects integer-quantized embeddings, so DuckDB recomputes the
+    # exact candidate set bit-for-bit (ops/dedup.py docstring). The recall
+    # floor / precision-1.0 contract stays machine-checked in-gate.
     def emb_lsh(s, d):
         emb = _emb(s, d)
-        lsh = dedup.embedding_neardup_lsh(emb, tau=0.35, planes=4, tables=16)
+        lsh = dedup.embedding_neardup_lsh(
+            emb, tau=0.35, planes=4, tables=16, sql_planes=True
+        )
         exact = {
             (r["id_a"], r["id_b"])
             for r in dedup.embedding_neardup_exact(emb, tau=0.35).collect()
@@ -530,7 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assert got <= exact, "LSH emitted a non-duplicate pair (precision < 1.0)"
         recall = len(got) / max(len(exact), 1)
         assert recall >= 0.7, f"LSH recall {recall:.3f} < 0.7"
-        return lsh.withColumn("recall", F.round(F.lit(recall), 4))
+        return lsh.select("id_a", "id_b")
 
     q["embedding_neardup_lsh"] = emb_lsh
 
@@ -539,33 +586,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), ANN_QUERY_IDS, k=10
     ).select("query_id", "neighbor_id", "rank")
 
-    # IVF probe (no SQL oracle — per-query recall vs the exact top-k is
-    # machine-checked IN-GATE and emitted as a metric column)
+    # in-memory IVF — NOW EXACT-ORACLE-CHECKED at full probe (nprobe=nlist
+    # scans every cell, so cell routing/union must reproduce the exact
+    # top-k); the partial-probe (nprobe=4) recall contract stays
+    # machine-checked IN-GATE against the exact scan
     def ivf_probe(s, d):
         emb = _emb(s, d)
-        approx = similarity.cosine_topk_ivf(
-            emb, ANN_QUERY_IDS, k=10, nlist=8, nprobe=4
-        ).select("query_id", "neighbor_id", "rank")
         exact: dict[int, set] = {}
         for r in similarity.cosine_topk(emb, ANN_QUERY_IDS, k=10).collect():
             exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        partial = similarity.cosine_topk_ivf(
+            emb, ANN_QUERY_IDS, k=10, nlist=8, nprobe=4
+        )
         got: dict[int, set] = {}
-        rows = approx.collect()
-        for r in rows:
+        for r in partial.collect():
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-        recalls = {
-            qid: len(exact[qid] & got.get(qid, set())) / len(exact[qid])
+        recalls = [
+            len(exact[qid] & got.get(qid, set())) / len(exact[qid])
             for qid in exact
-        }
-        mean_recall = sum(recalls.values()) / len(recalls)
+        ]
+        mean_recall = sum(recalls) / len(recalls)
         assert mean_recall >= 0.5, f"IVF mean recall {mean_recall:.3f} < 0.5"
-        rec_df = s.createDataFrame(
-            [(int(qid), round(r, 4)) for qid, r in recalls.items()],
-            "query_id long, recall double",
-        )
-        return approx.join(F.broadcast(rec_df), "query_id").select(
-            "query_id", "neighbor_id", "rank", "recall"
-        )
+        return similarity.cosine_topk_ivf(
+            emb, ANN_QUERY_IDS, k=10, nlist=8, nprobe=8
+        ).select("query_id", "neighbor_id", "rank")
 
     q["ann_cosine_ivf"] = ivf_probe
 
@@ -740,64 +784,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_incremental_merge"] = ivf_incremental
 
-    # ---- quantized traversal + exact rerank (int8 compression tier, the
-    # JVectorIndexQuantization.java:45-140 analog): approximate pass reads
-    # 1 byte/dim, rerank restores full precision -> rank-identical ---------
-    def ivf_quantized(s, d):
-        from pysearch.ops.vector_index import build_vector_index, search_vector_index
-
-        idx = _index_dir(d, "ivf_q5")
-        emb = _emb(s, d)
-        build_vector_index(s, emb, idx, nlist=8, seed=42, quantize=True)
-        qrows = emb.where("vec_id < 4").collect()
-        queries_v = [(r["vec_id"], list(r["embedding"])) for r in qrows]
-        out = search_vector_index(s, idx, queries_v, k=10, nprobe=8, rerank_factor=4)
-        return out.select("query_id", "neighbor_id", "rank")
-
-    q["ann_ivf_quantized_rerank"] = ivf_quantized
-
-    # ---- one-bit tier (OneBitScalarQuantizer.java analog: trained mean
-    # thresholds, 1 bit/dim, hamming traversal, exact rerank) --------------
-    def ivf_onebit(s, d):
-        from pysearch.ops.vector_index import build_vector_index, search_vector_index
-
-        idx = _index_dir(d, "ivf_ob5")
-        emb = _emb(s, d)
-        build_vector_index(
-            s, emb, idx, nlist=8, seed=42, quantize=True, quant_kind="onebit"
-        )
-        qrows = emb.where("vec_id < 4").collect()
-        queries_v = [(r["vec_id"], list(r["embedding"])) for r in qrows]
-        out = search_vector_index(s, idx, queries_v, k=10, nprobe=8, rerank_factor=12)
-        return out.select("query_id", "neighbor_id", "rank")
-
-    q["ann_ivf_onebit_rerank"] = ivf_onebit
-
-    # ---- subspace product-quantization tier (computePqVectors analog,
-    # JVectorIndexQuantization.java:114-140): m-byte codes (16x at the
-    # default m=dim/4), codebook-decoded traversal + exact rerank — full
-    # probe with oversample = rank-identical to the exact oracle ----------
-    def ivf_pq(s, d):
-        from pysearch.ops.vector_index import build_vector_index, search_vector_index
-
-        idx = _index_dir(d, "ivf_pq5")
-        emb = _emb(s, d)
-        build_vector_index(
-            s, emb, idx, nlist=8, seed=42, quantize=True, quant_kind="pq"
-        )
-        # compression contract asserted IN-GATE: <= dim/4 bytes per vector
-        import glob as _glob
+    # ---- ALL THREE compression tiers in ONE gate row (tier discriminator):
+    # int8 (JVectorIndexQuantization.java:45-140), one-bit
+    # (OneBitScalarQuantizer.java: trained mean thresholds, hamming
+    # traversal), true subspace PQ (computePqVectors analog, m-byte codes).
+    # Each is quantized traversal + exact float rerank; full probe with the
+    # oversample makes every tier rank-identical to the exact oracle ------
+    def ivf_quant_tiers(s, d):
         import json as _json
         import os as _os
 
-        st = _json.load(open(_os.path.join(idx, "quant_state.json")))
-        assert st["kind"] == "pq" and st["m"] <= st["dim"] // 4, st
+        from pysearch.ops.vector_index import build_vector_index, search_vector_index
+
+        emb = _emb(s, d)
         qrows = emb.where("vec_id < 4").collect()
         queries_v = [(r["vec_id"], list(r["embedding"])) for r in qrows]
-        out = search_vector_index(s, idx, queries_v, k=10, nprobe=8, rerank_factor=12)
-        return out.select("query_id", "neighbor_id", "rank")
+        tiers = [
+            ("int8", "ivf_q5", None, 4),
+            ("onebit", "ivf_ob5", "onebit", 12),
+            ("pq", "ivf_pq5", "pq", 12),
+        ]
+        outs = []
+        for tier, variant, kind, rf in tiers:
+            idx = _index_dir(d, variant)
+            kw = {"quant_kind": kind} if kind else {}
+            build_vector_index(s, emb, idx, nlist=8, seed=42, quantize=True, **kw)
+            if tier == "pq":
+                # compression contract asserted IN-GATE: <= dim/4 bytes/vec
+                st = _json.load(open(_os.path.join(idx, "quant_state.json")))
+                assert st["kind"] == "pq" and st["m"] <= st["dim"] // 4, st
+            out = search_vector_index(
+                s, idx, queries_v, k=10, nprobe=8, rerank_factor=rf
+            )
+            outs.append(
+                out.select(
+                    F.lit(tier).alias("tier"), "query_id", "neighbor_id", "rank"
+                )
+            )
+        res = outs[0]
+        for x in outs[1:]:
+            res = res.unionByName(x)
+        return res
 
-    q["ann_ivf_pq_rerank"] = ivf_pq
+    q["ann_ivf_quant_tiers"] = ivf_quant_tiers
 
     # ---- hamming space on the persisted IVF path (SpaceType.java:43-160
     # HAMMING as a first-class index space): binary vectors derived
@@ -842,10 +871,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_radial"] = ivf_radial
 
-    # ---- query-TABLE vector search: distributed probe assignment + cell
-    # co-partitioned join — the 10^6-query offline path (query embeddings
-    # never ride the driver); full probe -> exact, so the oracle applies ----
-    def ivf_table(s, d):
+    # ---- query-TABLE vector search, ALL FOUR MODES in ONE gate row (mode
+    # discriminator; one shared persisted index — the consolidation the r5
+    # verdict asked for so the driver cap can't drop any of them):
+    #   topk      distributed probe assignment + cell co-partitioned join —
+    #             the 10^6-query offline path (query embeddings never ride
+    #             the driver)
+    #   filtered  accept set as an id-DataFrame semi-join
+    #             (JVectorReader.java:154-164 / KNNQueryBuilder.java:536-541)
+    #   radial    threshold mode, unbounded (KNNQueryBuilder.java:440-474)
+    #   perrow    per-row method parameters: k=5 / k=15 / radial in one
+    #             table (method_parameters, KNNQueryBuilder.java:71-76)
+    # full probe -> exact tier, so the DuckDB oracle applies to every mode
+    def ivf_table_modes(s, d):
         from pysearch.ops.vector_index import (
             build_vector_index,
             search_vector_index_table,
@@ -854,84 +892,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _index_dir(d, "ivf5")
         emb = _emb(s, d)
         build_vector_index(s, emb, idx, nlist=8, seed=42)
-        qdf = emb.where("vec_id < 6").select(
+
+        q6 = emb.where("vec_id < 6").select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        out = search_vector_index_table(s, idx, qdf, k=10, nprobe=8)
-        return out.select("query_id", "neighbor_id", "rank")
-
-    q["ann_ivf_table_search"] = ivf_table
-
-    # ---- filtered query-TABLE vector search: accept set as an id-DataFrame
-    # semi-join on the distributed table path (JVectorReader.java:154-164 /
-    # KNNQueryBuilder.java:536-541 analog); exact tier, so the oracle applies
-    def ivf_table_filtered(s, d):
-        from pysearch.ops.vector_index import (
-            build_vector_index,
-            search_vector_index_table,
-        )
-
-        idx = _index_dir(d, "ivf5")
-        emb = _emb(s, d)
-        build_vector_index(s, emb, idx, nlist=8, seed=42)
-        qdf = emb.where("vec_id < 4").select(
+        q4 = emb.where("vec_id < 4").select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
         allow = emb.where("vec_id % 2 = 0").select("vec_id")
-        out = search_vector_index_table(
-            s, idx, qdf, k=10, nprobe=8, allow_ids=allow
+        perrow_q = (
+            emb.where("vec_id in (1, 2, 3)")
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+            .withColumn(
+                "kk",
+                F.when(F.col("query_id") == 1, F.lit(5)).when(
+                    F.col("query_id") == 2, F.lit(15)
+                ),
+            )
+            .withColumn("ms", F.when(F.col("query_id") == 3, F.lit(0.35)))
         )
-        return out.select("query_id", "neighbor_id", "rank")
-
-    q["ann_ivf_table_filtered"] = ivf_table_filtered
-
-    # ---- radial query-TABLE vector search: threshold mode on the
-    # distributed table path (KNNQueryBuilder.java:440-474), unbounded,
-    # always exact-tier; full probe -> the DuckDB oracle applies ------------
-    def ivf_table_radial(s, d):
-        from pysearch.ops.vector_index import (
-            build_vector_index,
-            search_vector_index_table,
-        )
-
-        idx = _index_dir(d, "ivf5")
-        emb = _emb(s, d)
-        build_vector_index(s, emb, idx, nlist=8, seed=42)
-        qdf = emb.where("vec_id < 4").select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
-        out = search_vector_index_table(s, idx, qdf, nprobe=8, min_sim=0.35)
-        return out.select("query_id", "neighbor_id", "rank")
-
-    q["ann_ivf_table_radial"] = ivf_table_radial
-
-    # ---- per-row method parameters on the vector TABLE (method_parameters
-    # analog, KNNQueryBuilder.java:71-76): one table mixing k=5, k=15 and a
-    # radial row; full probe -> exact tier, so the oracle applies ----------
-    def ivf_table_perrow(s, d):
-        from pysearch.ops.vector_index import (
-            build_vector_index,
-            search_vector_index_table,
-        )
-
-        idx = _index_dir(d, "ivf5")
-        emb = _emb(s, d)
-        build_vector_index(s, emb, idx, nlist=8, seed=42)
-        base = emb.where("vec_id in (1, 2, 3)").select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
-        qdf = base.withColumn(
-            "kk",
-            F.when(F.col("query_id") == 1, F.lit(5)).when(
-                F.col("query_id") == 2, F.lit(15)
+        modes = [
+            ("topk", search_vector_index_table(s, idx, q6, k=10, nprobe=8)),
+            (
+                "filtered",
+                search_vector_index_table(
+                    s, idx, q4, k=10, nprobe=8, allow_ids=allow
+                ),
             ),
-        ).withColumn("ms", F.when(F.col("query_id") == 3, F.lit(0.35)))
+            (
+                "radial",
+                search_vector_index_table(s, idx, q4, nprobe=8, min_sim=0.35),
+            ),
+            (
+                "perrow",
+                search_vector_index_table(
+                    s, idx, perrow_q, k=10, nprobe=8, k_col="kk", min_sim_col="ms"
+                ),
+            ),
+        ]
+        outs = [
+            df.select(F.lit(m).alias("mode"), "query_id", "neighbor_id", "rank")
+            for m, df in modes
+        ]
+        out = outs[0]
+        for x in outs[1:]:
+            out = out.unionByName(x)
+        return out
+
+    q["ann_ivf_table_modes"] = ivf_table_modes
+
+    # ---- quantized tier on the query-TABLE path (the compressed-search
+    # path of JVectorReader.java:353-366 on the 10^6-query surface): PQ
+    # codes traversed distributed, exact float rerank; full probe +
+    # oversample -> rank-identical to the exact oracle ---------------------
+    def ivf_table_pq(s, d):
+        from pysearch.ops.vector_index import (
+            build_vector_index,
+            search_vector_index_table,
+        )
+
+        idx = _index_dir(d, "ivf_pq5")
+        emb = _emb(s, d)
+        build_vector_index(
+            s, emb, idx, nlist=8, seed=42, quantize=True, quant_kind="pq"
+        )
+        qdf = emb.where("vec_id < 6").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
         out = search_vector_index_table(
-            s, idx, qdf, k=10, nprobe=8, k_col="kk", min_sim_col="ms"
+            s, idx, qdf, k=10, nprobe=8, rerank_factor=12
         )
         return out.select("query_id", "neighbor_id", "rank")
 
-    q["ann_ivf_table_perrow"] = ivf_table_perrow
+    q["ann_ivf_table_pq"] = ivf_table_pq
 
     # ---- nested-vector search (NestedKnnVectorQueryFactory.java:1-77 /
     # DiversifyingChildrenFloatKnnVectorQuery analog): parents own many
@@ -958,13 +991,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_nested_parents"] = ivf_nested
 
-    # ---- additional similarity spaces (SpaceType.java:43-160) -------------
-    q["ann_l2_topk"] = lambda s, d: similarity.similarity_topk(
-        _emb(s, d), ANN_QUERY_IDS, k=10, space="l2"
-    ).select("query_id", "neighbor_id", "rank")
-    q["ann_ip_topk"] = lambda s, d: similarity.similarity_topk(
-        _emb(s, d), ANN_QUERY_IDS, k=10, space="innerproduct"
-    ).select("query_id", "neighbor_id", "rank")
+    # ---- additional similarity spaces (SpaceType.java:43-160), l2 + inner
+    # product consolidated into ONE row set (space discriminator) -----------
+    def l2_ip_topk(s, d):
+        emb = _emb(s, d)
+        outs = [
+            similarity.similarity_topk(emb, ANN_QUERY_IDS, k=10, space=sp).select(
+                F.lit(tag).alias("space"), "query_id", "neighbor_id", "rank"
+            )
+            for tag, sp in (("l2", "l2"), ("ip", "innerproduct"))
+        ]
+        return outs[0].unionByName(outs[1])
+
+    q["ann_l2_ip_topk"] = l2_ip_topk
     # hamming space over simhash sketches (binary-vector analog) — the sigs
     # are SQL-bit-exact, so ranks AND distances verify
     q["hamming_topk_simhash"] = lambda s, d: similarity.hamming_topk(
@@ -984,9 +1023,16 @@ def oracle_sql() -> dict[str, str]:
 
         return list(dict.fromkeys(tokenize_text(t)))
 
-    o["bm25_topk_single"] = _bm25_sql(toks(Q_SINGLE), 10)
-    o["bm25_topk_multi"] = _bm25_sql(toks(Q_MULTI), 10)
-    o["bm25_topk_k100"] = _bm25_sql(toks(Q_K100), 100)
+    def _mode_qid(qid: int, inner: str) -> str:
+        return f"SELECT {qid}::BIGINT AS query_id, doc_id, score FROM ({inner})"
+
+    o["bm25_topk_modes"] = "\nUNION ALL\n".join(
+        [
+            _mode_qid(0, _bm25_sql(toks(Q_SINGLE), 10)),
+            _mode_qid(1, _bm25_sql(toks(Q_MULTI), 10)),
+            _mode_qid(2, _bm25_sql(toks(Q_K100), 100)),
+        ]
+    )
     o["bm25_filtered"] = _bm25_sql(toks(Q_FILTERED), 10, filter_sql="d.lang = 'de'")
     o["bm25_filtered_selective"] = _bm25_sql(
         toks(Q_FILTERED), 10, filter_sql="d.doc_id % 97 = 0"
@@ -1080,27 +1126,33 @@ FROM scored JOIN documents d ON scored.doc_id = d.doc_id
 GROUP BY d.source
 """
 
-    o["text_token_stats"] = f"""
-SELECT doc_id,
-       len({tok})::BIGINT AS n_tokens,
-       len(list_distinct({tok}))::BIGINT AS n_unique,
-       COALESCE(list_sum(list_transform({tok}, t -> len(t))), 0)::BIGINT AS token_chars
-FROM documents
-"""
-    o["text_bpe_token_stats"] = r"""
-WITH t AS (
+    # word-level + BPE-ish stats joined into one wide row per doc (matches
+    # the consolidated gate entry)
+    o["text_token_stats"] = rf"""
+WITH w AS (
+  SELECT doc_id,
+         len({tok})::BIGINT AS n_tokens,
+         len(list_distinct({tok}))::BIGINT AS n_unique,
+         COALESCE(list_sum(list_transform({tok}, t -> len(t))), 0)::BIGINT AS token_chars
+  FROM documents
+),
+t AS (
   SELECT doc_id, text,
          CASE WHEN length(trim(text)) = 0 THEN []
               ELSE regexp_split_to_array(trim(text), '\s+') END AS ws,
          regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+') AS bpe
   FROM documents
+),
+b AS (
+  SELECT doc_id, len(ws)::BIGINT AS ws_tokens, len(bpe)::BIGINT AS bpe_tokens,
+         len(list_distinct(bpe))::BIGINT AS bpe_unique,
+         CAST(round(octet_length(encode(text)) * 1.0 / greatest(len(bpe), 1), 4) AS DOUBLE) AS chars_per_token
+  FROM t
 )
-SELECT doc_id, len(ws)::BIGINT AS ws_tokens, len(bpe)::BIGINT AS bpe_tokens,
-       len(list_distinct(bpe))::BIGINT AS bpe_unique,
-       CAST(round(octet_length(encode(text)) * 1.0 / greatest(len(bpe), 1), 4) AS DOUBLE) AS chars_per_token
-FROM t
+SELECT w.*, b.ws_tokens, b.bpe_tokens, b.bpe_unique, b.chars_per_token
+FROM w JOIN b USING (doc_id)
 """
-    o["dedup_jaccard_3gram"] = f"""
+    _jaccard_3gram = f"""
 WITH tk AS (SELECT doc_id, {tok} AS toks FROM documents),
 t AS (
   SELECT doc_id, list_distinct(
@@ -1154,9 +1206,6 @@ WITH h AS (
 SELECT doc_id, CASE WHEN best = 0 THEN 'unknown' {' '.join(lang_cases)} END AS lang_guess
 FROM g
 """
-    o["text_fingerprint"] = f"""
-SELECT doc_id, md5(array_to_string({tok}, ' ')) AS fingerprint FROM documents
-"""
     # winnowing: the engine's poly hash + k-gram fold + window minima are
     # SQL-replicable bit-for-bit (pysearch/ops/hashing.py docstring); the
     # exploded (doc_id, hash) rows are compared exactly
@@ -1164,14 +1213,19 @@ SELECT doc_id, md5(array_to_string({tok}, ' ')) AS fingerprint FROM documents
 
     _M = POLY_MOD
     _p50 = poly_hash_sql("s")
-    o["text_winnow_fingerprint"] = f"""
+    # md5 whole-doc fingerprint + winnow minima in one row set (kind col);
+    # single WITH block — a bare UNION ALL of two WITH statements is a
+    # parse error
+    o["text_fingerprints"] = f"""
 WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
 h AS (SELECT doc_id, list_transform(toks, s -> {_p50}) AS th FROM t),
 g AS (SELECT doc_id, CASE WHEN len(th) >= 4 THEN list_transform(generate_series(1, len(th)-3), i ->
       ((((((th[i]*31 + th[i+1]) % {_M})*31 + th[i+2]) % {_M})*31 + th[i+3]) % {_M})) ELSE [] END AS kh FROM h),
 w AS (SELECT doc_id, CASE WHEN len(kh)=0 THEN [] ELSE list_transform(generate_series(1, greatest(len(kh)-4,1)), j -> list_min(kh[j:j+4])) END AS wm FROM g),
 s AS (SELECT doc_id, list_sort(list_distinct(wm)) AS sig FROM w)
-SELECT doc_id, unnest(sig) AS h FROM s
+SELECT doc_id, 'md5' AS kind, md5(array_to_string({tok}, ' ')) AS h FROM documents
+UNION ALL
+SELECT doc_id, 'winnow' AS kind, unnest(sig)::VARCHAR AS h FROM s
 """
 
     o["dedup_exact"] = """
@@ -1186,7 +1240,7 @@ FROM documents
     # can exceed the cap, so these uncapped SQL oracles express the SAME
     # semantics; tests/test_shingle_skew_guard.py verifies the capped
     # semantics against an independent oracle where the cap does bind.
-    o["dedup_jaccard_pairs"] = f"""
+    _jaccard_uni = f"""
 WITH t AS (SELECT doc_id, list_distinct({tok}) AS ts FROM documents),
 p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1197,6 +1251,11 @@ SELECT id_a, id_b,
        CAST(round(inter * 1.0 / (sa + sb - inter), 6) AS DOUBLE) AS jaccard
 FROM p WHERE inter * 1.0 / (sa + sb - inter) >= 0.95
 """
+    # unigram + 3-gram shingle tiers in one row set (ngram discriminator)
+    o["dedup_jaccard_modes"] = (
+        f"SELECT 1::BIGINT AS ngram, * FROM ({_jaccard_uni})\n"
+        f"UNION ALL\nSELECT 3::BIGINT AS ngram, * FROM ({_jaccard_3gram})"
+    )
     # minhash-LSH verifies candidates with EXACT jaccard (precision 1.0) and
     # at 4-row/16-band parameters a true pair at tau=0.95 is missed with
     # probability (1 - 0.95^4)^16 ~ 2e-12 — so the exact-jaccard pair set IS
@@ -1232,6 +1291,45 @@ SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
 """
+    # hyperplane-LSH EXACT replication (converted from no_oracle): plane
+    # sign = popcount parity of poly_hash63("t:p:i"), projections over the
+    # integer grid floor(v * 2^20) — all-BIGINT arithmetic, so the candidate
+    # set is bit-identical to the engine's (ops/dedup.py sql_planes mode);
+    # the cosine >= tau verification matches embedding_neardup's
+    _p63_plane = poly_hash63_sql(
+        "(t.t::VARCHAR || ':' || p.p::VARCHAR || ':' || i.i::VARCHAR)"
+    )
+    o["embedding_neardup_lsh"] = f"""
+WITH tt AS (SELECT unnest(generate_series(0, 15)) AS t),
+pp AS (SELECT unnest(generate_series(0, 3)) AS p),
+ii AS (SELECT unnest(generate_series(0, 63)) AS i),
+coefs AS (
+  SELECT t.t, p.p, i.i,
+         CASE WHEN (bit_count({_p63_plane}) % 2) = 1 THEN 1::BIGINT ELSE -1::BIGINT END AS c
+  FROM tt t, pp p, ii i
+),
+qv AS (
+  SELECT vec_id, i.i, floor(embedding[i.i + 1]::DOUBLE * 1048576.0)::BIGINT AS q
+  FROM embeddings, ii i
+),
+proj AS (
+  SELECT qv.vec_id, coefs.t, coefs.p, sum(qv.q * coefs.c) AS s
+  FROM qv JOIN coefs ON qv.i = coefs.i GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, t, sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a::BIGINT AS id_a, c.id_b::BIGINT AS id_b FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.35
+"""
     o["ann_cosine_topk"] = """
 SELECT query_id, neighbor_id, rank FROM (
   SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
@@ -1244,6 +1342,10 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE q.vec_id < 10
 ) WHERE rank <= 10
 """
+    # in-memory IVF at FULL PROBE == exact top-k (cell routing + union must
+    # reproduce it); converted from no_oracle — partial-probe recall stays
+    # asserted in-gate
+    o["ann_cosine_ivf"] = o["ann_cosine_topk"]
 
     # (first 8 chars == first 8 bytes for this ASCII corpus)
     o["multimodal_features"] = """
@@ -1312,7 +1414,7 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE q.vec_id < 4
 ) WHERE rank <= 10
 """
-    o["ann_ivf_table_search"] = """
+    _table_topk = """
 SELECT query_id, neighbor_id, rank FROM (
   SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
          row_number() OVER (
@@ -1325,7 +1427,7 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= 10
 """
     # filtered table search: accept set = even ids; exact tier + full probe
-    o["ann_ivf_table_filtered"] = """
+    _table_filtered = """
 SELECT query_id, neighbor_id, rank FROM (
   SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
          row_number() OVER (
@@ -1339,7 +1441,7 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= 10
 """
     # radial table search: same contract as ann_ivf_radial on the table path
-    o["ann_ivf_table_radial"] = """
+    _table_radial = """
 SELECT query_id, neighbor_id, rank FROM (
   SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
          list_cosine_similarity(q.embedding, x.embedding) AS sim,
@@ -1374,7 +1476,7 @@ SELECT query_id, parent_id, n_children, rank FROM (
 """
     # per-row method parameters: k=5 / k=15 / radial-at-0.35 rows in ONE
     # table; full probe -> exact
-    o["ann_ivf_table_perrow"] = """
+    _table_perrow = """
 SELECT query_id, neighbor_id, rank FROM (
   SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
          list_cosine_similarity(q.embedding, x.embedding) AS sim,
@@ -1389,10 +1491,24 @@ SELECT query_id, neighbor_id, rank FROM (
      OR (query_id = 2 AND rank <= 15)
      OR (query_id = 3 AND sim >= 0.35)
 """
-    # one-bit tier: the exact rerank restores full-precision ranks (hamming
-    # traversal only shrinks the candidate pool; 12x oversample covers it at
-    # gate scale)
-    o["ann_ivf_onebit_rerank"] = """
+    # the four table modes in one row set (mode discriminator), matching the
+    # consolidated gate entry
+    o["ann_ivf_table_modes"] = "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS mode, * FROM ({inner})"
+        for m, inner in (
+            ("topk", _table_topk),
+            ("filtered", _table_filtered),
+            ("radial", _table_radial),
+            ("perrow", _table_perrow),
+        )
+    )
+    # quantized table path: full probe + oversampled exact rerank == the
+    # exact top-k (same query set as the topk table mode)
+    o["ann_ivf_table_pq"] = _table_topk
+    # every compression tier reranks back to the exact float top-k (the
+    # quantized traversal only shrinks the candidate pool; full probe +
+    # oversample covers it at gate scale) -> one exact oracle x 3 tiers
+    _exact_topk4 = """
 SELECT query_id, neighbor_id, rank FROM (
   SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
          row_number() OVER (
@@ -1404,20 +1520,10 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE q.vec_id < 4
 ) WHERE rank <= 10
 """
-    # pq tier: full probe + oversampled exact rerank == exact top-k, same
-    # oracle shape as the other quantized tiers
-    o["ann_ivf_pq_rerank"] = """
-SELECT query_id, neighbor_id, rank FROM (
-  SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
-         row_number() OVER (
-           PARTITION BY q.vec_id
-           ORDER BY round(list_cosine_similarity(q.embedding, x.embedding), 9) DESC,
-                    x.vec_id ASC
-         ) AS rank
-  FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
-  WHERE q.vec_id < 4
-) WHERE rank <= 10
-"""
+    o["ann_ivf_quant_tiers"] = "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS tier, * FROM ({_exact_topk4})"
+        for t in ("int8", "onebit", "pq")
+    )
     # hamming over thresholded bits: integer distances, so VALUES verify
     # exactly (ties by neighbor_id ascending like every other space)
     o["ann_ivf_hamming"] = """
@@ -1469,21 +1575,6 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE q.vec_id IN (5, 6, 7)
 ) WHERE rank <= 10
 """
-    # quantized traversal + exact rerank: the rerank restores full-precision
-    # scores, so ranks are identical to the float oracle (approximation only
-    # shrinks the candidate pool, and full probe + 4x oversample covers it)
-    o["ann_ivf_quantized_rerank"] = """
-SELECT query_id, neighbor_id, rank FROM (
-  SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
-         row_number() OVER (
-           PARTITION BY q.vec_id
-           ORDER BY round(list_cosine_similarity(q.embedding, x.embedding), 9) DESC,
-                    x.vec_id ASC
-         ) AS rank
-  FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
-  WHERE q.vec_id < 4
-) WHERE rank <= 10
-"""
     # lifecycle variant: merged state == survivors of the mod-17 delete
     o["ann_ivf_after_merge"] = """
 SELECT query_id, neighbor_id, rank FROM (
@@ -1499,8 +1590,9 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= 10
 """
     # float32 caveat (DuckDB list_* compute in f32): spaces compare id/rank
-    # sets, never the float values
-    o["ann_l2_topk"] = """
+    # sets, never the float values. l2 + inner product in one row set
+    # (space discriminator), matching the consolidated gate entry
+    _l2_topk = """
 SELECT query_id, neighbor_id, rank FROM (
   SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
          row_number() OVER (
@@ -1512,7 +1604,7 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE q.vec_id < 10
 ) WHERE rank <= 10
 """
-    o["ann_ip_topk"] = """
+    _ip_topk = """
 SELECT query_id, neighbor_id, rank FROM (
   SELECT q.vec_id::BIGINT AS query_id, x.vec_id::BIGINT AS neighbor_id,
          row_number() OVER (
@@ -1524,6 +1616,10 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE q.vec_id < 10
 ) WHERE rank <= 10
 """
+    o["ann_l2_ip_topk"] = (
+        f"SELECT 'l2' AS space, * FROM ({_l2_topk})\n"
+        f"UNION ALL\nSELECT 'ip' AS space, * FROM ({_ip_topk})"
+    )
     # multi-field: per-field BM25 (own dl/avgdl/df per field, shared N),
     # weighted sum — 'src3' only exists in the source field, 'spark' only in
     # text, so both sides must contribute for the hash to match
@@ -1726,9 +1822,8 @@ sel AS (
 )
 SELECT last_pick::BIGINT AS doc_id, step::BIGINT AS mmr_rank FROM sel
 """
-    # rows-only entries (embedding_neardup_lsh, ann_cosine_ivf):
-    # approximation quality is parameter-dependent, so no SQL oracle — but
-    # each callable ASSERTS its contract in-gate (recall floor /
-    # precision-1.0 subset) and emits the measured metric as an output
-    # column; tests/test_entry.py double-checks the same invariants.
+    # every registered entry now carries a DuckDB oracle: the former
+    # rows-only pair was converted in r6 (embedding_neardup_lsh via the
+    # SQL-replicable plane trick; ann_cosine_ivf at full probe where IVF is
+    # exact). Partial-probe / recall contracts remain asserted in-gate.
     return o

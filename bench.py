@@ -24,6 +24,26 @@ import tempfile
 import time
 
 
+def _hw_calibration() -> float:
+    """Fixed single-threaded CPU workload (seeded numpy sort + matmul),
+    measured in the SAME window as the engine phases. Host contention shows
+    up here identically across rounds, so a slow driver window is separable
+    from an engine regression: compare engine-metric ratios to
+    hw_calibration ratios between BENCH_r{N}.json files."""
+    import numpy as np
+
+    rng = np.random.default_rng(12345)
+    x = rng.standard_normal(4_000_000)
+    a = rng.standard_normal((512, 512))
+    t0 = time.time()
+    np.argsort(x)
+    b = a.copy()
+    for _ in range(8):
+        b = b @ a
+        b /= np.abs(b).max()
+    return time.time() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -66,14 +86,19 @@ def main() -> None:
         os.path.join(work, "warm"), IndexConfig(segment_rows=1000, term_buckets=32),
         concurrency=4,
     )
-    # best-of-2: the sandbox host is noisily shared (watch trials in output)
+    # best-of-3, INTERLEAVED with hardware-calibration probes (the r4/r5
+    # driver windows regressed build + untouched surfaces together — the
+    # calibration rows make window contention separable from engine change)
+    calib = [_hw_calibration()]
     trials = []
-    for t in range(2):
-        d = idx if t == 0 else os.path.join(work, "idx_b")
+    build_dirs = [idx, os.path.join(work, "idx_b"), os.path.join(work, "idx_c")]
+    for t, d in enumerate(build_dirs):
         t0 = time.time()
         meta = build_index(spark, corpus, d, cfg, concurrency=4)
         trials.append(time.time() - t0)
+        calib.append(_hw_calibration())
     build_sec = min(trials)
+    shutil.rmtree(build_dirs[2], ignore_errors=True)  # 3rd only needed cold
     n_docs = sum(m["num_docs"] for m in meta.live_manifests().values())
     queries_out["build_synthetic_corpus"] = round(build_sec, 3)
     for i, x in enumerate(trials):
@@ -98,6 +123,7 @@ def main() -> None:
                 Query(text=q["query_text"], k=q["k"], filter_expr=q["filter_expr"])
             ).collect()
             lats[i] = min(lats[i], time.time() - t0)
+        calib.append(_hw_calibration())
     p50 = statistics.median(lats)
     p90 = sorted(lats)[int(0.9 * len(lats))]
     queries_out["bm25_query_p50"] = round(p50, 4)
@@ -232,6 +258,10 @@ def main() -> None:
 
     shutil.rmtree(work, ignore_errors=True)
 
+    calib.append(_hw_calibration())
+    for i, x in enumerate(calib):
+        queries_out[f"hw_calib_{i}"] = round(x, 3)
+
     print(
         json.dumps(
             {
@@ -245,6 +275,8 @@ def main() -> None:
                 "batch_table_queries_per_sec": round(table_qps, 1),
                 "built_docs": n_docs,
                 "cpus": cpus,
+                "hw_calibration_sec": round(min(calib), 3),
+                "hw_calibration_max_sec": round(max(calib), 3),
             }
         )
     )

@@ -451,6 +451,7 @@ def embedding_neardup_lsh(
     tables: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    sql_planes: bool = False,
 ) -> DataFrame:
     """Hyperplane-LSH (random-projection) near-dup: `tables` independent
     sign-sketches of `planes` bits bucket the vectors; colliding pairs are
@@ -458,13 +459,46 @@ def embedding_neardup_lsh(
     Collision probability per table is (1 - θ/π)^planes, so size `planes`
     to the target regime: defaults suit genuine near-dups (cosine >= ~0.8);
     for low thresholds use fewer planes + more tables (recall asserted in
-    pytest)."""
+    pytest).
+
+    ``sql_planes=True`` swaps the Gaussian planes for Rademacher ±1
+    coefficients derived from the SQL-replicable poly_hash63 of
+    ``"{table}:{plane}:{dim}"`` and projects integer-QUANTIZED embeddings
+    (``floor(v * 2^20)`` as int64, exact in both float64 and SQL DOUBLE
+    arithmetic). Rademacher sign-projection is the standard ±1 variant of
+    hyperplane LSH (same collision-probability regime as Gaussian planes),
+    and the all-integer projection makes every bucket bit reproducible
+    bit-for-bit in ANSI SQL — order-independent, no float summation at all
+    — so the DuckDB correctness oracle can recompute the exact candidate
+    set (magnitude bound: |proj| <= dim * 2^20 << 2^63)."""
     spark = emb.sparkSession
     if dim is None:
         dim = len(emb.select(vec).first()[0])
-    rng = np.random.default_rng(seed)
-    planes_m = rng.standard_normal((tables, planes, dim))
+    if sql_planes:
+        from pysearch.ops.hashing import poly_hash63
+
+        keys = [
+            f"{t}:{p}:{i}"
+            for t in range(tables)
+            for p in range(planes)
+            for i in range(dim)
+        ]
+        # sign = POPCOUNT PARITY of the 63-bit hash (SQL: bit_count(h) % 2):
+        # folding all bits decorrelates the signs — the raw low bit of the
+        # polynomial hash is nearly affine in the varying key digits and
+        # collapsed the 64 plane rows to 2 distinct patterns (measured),
+        # capping LSH recall regardless of table count
+        h = poly_hash63(keys)
+        bits = np.zeros(len(h), dtype=np.int64)
+        for _ in range(63):
+            bits ^= (h & np.uint64(1)).astype(np.int64)
+            h >>= np.uint64(1)
+        planes_m = (bits * 2 - 1).reshape(tables, planes, dim).astype(np.float64)
+    else:
+        rng = np.random.default_rng(seed)
+        planes_m = rng.standard_normal((tables, planes, dim))
     b_planes = spark.sparkContext.broadcast(planes_m)
+    quantize_input = bool(sql_planes)
 
     schema = T.StructType(
         [
@@ -481,6 +515,11 @@ def embedding_neardup_lsh(
             if not len(pdf):
                 continue
             X = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+            if quantize_input:
+                # exact-integer projection grid (see docstring): float64
+                # multiply by 2^20 is exact for float32 inputs, floor is
+                # deterministic, and the signed sums stay far inside int64
+                X = np.floor(X * float(1 << 20))
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             outs = []
             for t in range(P.shape[0]):
