@@ -166,6 +166,13 @@ class Query:
     # the weighted multi-field query analog of the reference's per-field
     # knn_vector mappings (KNNVectorFieldMapper.java:101-177).
     fields: dict | None = None
+    # parse flags (KNNQueryBuilder.java:64-81 contract):
+    # ignore_unmapped — fields not present in the index mapping contribute
+    # no hits instead of raising (all-unmapped query matches nothing);
+    # expand_nested — grouped search returns EVERY child of a matched
+    # group, not just the best one (consumed by SearchIndex.search_grouped)
+    ignore_unmapped: bool = False
+    expand_nested: bool = False
     params: dict = field(default_factory=dict)
 
     def validate(self) -> None:
@@ -180,6 +187,10 @@ class Query:
                 raise ValueError("field weights must be > 0")
         if self.overquery_factor is not None and self.overquery_factor < 1:
             raise ValueError("overquery_factor must be >= 1")
+        if not isinstance(self.ignore_unmapped, bool):
+            raise ValueError("ignore_unmapped must be a bool")
+        if not isinstance(self.expand_nested, bool):
+            raise ValueError("expand_nested must be a bool")
 
 
 class SearchIndex:
@@ -320,10 +331,16 @@ class SearchIndex:
         qfields = query.fields or {primary: 1.0}
         unknown = set(qfields) - set(self.index_fields)
         if unknown:
-            raise ValueError(
-                f"query fields {sorted(unknown)} not indexed; index has "
-                f"{list(self.index_fields)}"
-            )
+            if query.ignore_unmapped:
+                # unmapped fields contribute no hits (ignore_unmapped=true
+                # semantics); a query whose every field is unmapped matches
+                # nothing rather than erroring
+                qfields = {f: w for f, w in qfields.items() if f not in unknown}
+            else:
+                raise ValueError(
+                    f"query fields {sorted(unknown)} not indexed; index has "
+                    f"{list(self.index_fields)}"
+                )
         if phrases and primary not in qfields:
             raise ValueError(
                 "phrase queries match the primary field; include it in fields"
@@ -700,6 +717,48 @@ class SearchIndex:
             hits = spark.createDataFrame(rows, _hits_out_schema())
             return hits, metrics_df
         return hits
+
+    def search_grouped(
+        self,
+        query: Query | str,
+        group_col: str = "repo",
+        k_groups: int = 3,
+        children: DataFrame | None = None,
+    ) -> DataFrame:
+        """Grouped (nested-field) retrieval: the top `k_groups` groups,
+        each scored by its best child (NestedKnnVectorQueryFactory.java:1-77
+        parent-from-best-child rule, ties by group ascending).
+
+        With ``query.expand_nested=True`` (KNNQueryBuilder.java:64-81),
+        returns EVERY child of each matched group with the group's best
+        score attached as `parent_score` (ExpandNestedDocsQuery.java:1-141
+        — the reference returns all nested docs of a matched parent, not
+        just the winner). Otherwise one row per group winner.
+
+        `children`: optional (group_col, doc_id) DataFrame giving the full
+        child population for expansion; defaults to the index docmap."""
+        from pysearch.ops import rerank as _rerank
+
+        if isinstance(query, str):
+            query = Query(text=query, k=10)
+        query.validate()
+        hits = self.search(query)
+        winners = _rerank.group_top_docs(hits, group_col, 1)
+        parents = (
+            winners.orderBy(
+                F.desc(F.round(F.col("score"), 9)), F.asc(group_col)
+            )
+            .limit(k_groups)
+            .select(group_col, "doc_id", "score")
+        )
+        if not query.expand_nested:
+            return parents
+        kids = (
+            children
+            if children is not None
+            else self.docmaps().select(group_col, "doc_id")
+        )
+        return _rerank.expand_group_docs(parents, kids, group_col)
 
     def search_batch(self, queries: list[Query]) -> DataFrame:
         """Execute MANY queries as ONE distributed job — the throughput path
