@@ -98,8 +98,8 @@ def main() -> None:
         trials.append(time.time() - t0)
         calib.append(_hw_calibration())
     build_sec = min(trials)
-    shutil.rmtree(build_dirs[2], ignore_errors=True)  # 3rd only needed cold
     n_docs = sum(m["num_docs"] for m in meta.live_manifests().values())
+    shutil.rmtree(build_dirs[2], ignore_errors=True)  # 3rd only needed cold
     queries_out["build_synthetic_corpus"] = round(build_sec, 3)
     for i, x in enumerate(trials):
         queries_out[f"build_trial_{i}"] = round(x, 3)
