@@ -263,6 +263,13 @@ class SearchIndex:
                 .collect()
             )
             self._df_cache = {r["term"]: int(r["df"]) for r in rows}
+        # per-term stats memo for BIG dictionaries (the Lucene term-
+        # dictionary-cache analog): the index state behind a SearchIndex
+        # handle is immutable (handles are keyed by commit count), so a
+        # term's global df never changes — repeated terms skip the
+        # dictionary-lookup Spark job entirely. Holds NEGATIVE entries too
+        # (df=0 for absent terms: OOV queries must not re-scan). Bounded.
+        self._term_stats_memo: dict[str, int] = {}
         # same gate for the identity columns: top-k winners resolve to
         # (repo, path, lang, sha) from driver memory instead of a second
         # docmap-join job per query; big indexes stay on the fused-join path
@@ -277,6 +284,9 @@ class SearchIndex:
             }
 
     MAX_PREFIX_EXPANSIONS = 50  # Lucene MultiTermQuery-style cap
+    # per-term df memo bound: ~50 B/entry -> <= ~50 MB driver memory; the
+    # memo clears wholesale at the bound (hot terms repopulate in one query)
+    TERM_STATS_MEMO_MAX = 1_000_000
     # identity columns pinned driver-side below this doc count (one less
     # Spark action per query); above it, winners resolve via an isin-pruned
     # docmap lookup
@@ -419,15 +429,25 @@ class SearchIndex:
             return {}
         if self._df_cache is not None:
             return {t: self._df_cache[t] for t in terms if t in self._df_cache}
-        buckets = sorted({bucket_of(t, self.config.term_buckets) for t in terms})
-        d = self._dictionary_df
-        rows = (
-            d.where(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-            .collect()
-        )
-        return {r["term"]: int(r["df"]) for r in rows}
+        memo = self._term_stats_memo
+        missing = sorted({t for t in terms if t not in memo})
+        if missing:
+            buckets = sorted({bucket_of(t, self.config.term_buckets) for t in missing})
+            d = self._dictionary_df
+            rows = (
+                d.where(
+                    F.col("bucket").isin(buckets) & F.col("term").isin(missing)
+                )
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            if len(memo) + len(missing) > self.TERM_STATS_MEMO_MAX:
+                memo.clear()
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                memo[t] = found.get(t, 0)  # 0 = negative entry (absent term)
+        return {t: memo[t] for t in terms if memo.get(t, 0) > 0}
 
     def idf(self, df_t: int) -> float:
         return float(np.log(1.0 + (self.num_docs - df_t + 0.5) / (df_t + 0.5)))

@@ -83,3 +83,26 @@ def test_expand_nested_grouped_search(spark, idx):
     # each child row carries the parent's best score
     best = {r["repo"]: r["score"] for r in prows}
     assert all(r["parent_score"] == best[r["repo"]] for r in erows)
+
+
+def test_term_stats_memo_big_dictionary_path(spark, idx):
+    """The per-term df memo (Lucene term-dictionary-cache analog): on the
+    big-dictionary path a term's stats are looked up via Spark ONCE per
+    SearchIndex handle, including NEGATIVE entries for absent terms."""
+    si = SearchIndex(spark, idx)
+    si._df_cache = None  # force the big-dictionary (memoized) path
+    first = si.global_term_stats(["license", "zzz_not_a_term"])
+    assert "license" in first and first["license"] > 0
+    assert "zzz_not_a_term" not in first  # absent -> omitted
+    assert si._term_stats_memo["zzz_not_a_term"] == 0  # but negatively cached
+
+    # repeated lookups must be served from the memo: break the Spark path
+    # and ask again
+    si._dictionary_df = None
+    second = si.global_term_stats(["license", "zzz_not_a_term"])
+    assert second == first
+
+    # a genuinely new term now needs the dictionary -> fails loudly, which
+    # proves the memo (not a silent fallback) served the repeat above
+    with pytest.raises(AttributeError):
+        si.global_term_stats(["merge"])
