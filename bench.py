@@ -235,24 +235,35 @@ def main() -> None:
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     queries_out["dedup_minhash_lsh"] = round(best, 3)
-    t0 = time.time()
-    similarity.cosine_topk(emb, list(range(10)), k=10).count()
-    queries_out["ann_cosine_topk"] = round(time.time() - t0, 3)
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        similarity.cosine_topk(emb, list(range(10)), k=10).count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    queries_out["ann_cosine_topk"] = round(best, 3)
 
     # persisted IVF index: build + 1k-query TABLE search (distributed probe
-    # fan-out joined on the cell partition key)
-    from pysearch.ops.vector_index import build_vector_index, search_vector_index_table
-
-    vidx = os.path.join(work_v := tempfile.mkdtemp(prefix="pysearch_vbench_"), "vidx")
-    t0 = time.time()
-    build_vector_index(spark, emb, vidx, nlist=16, seed=42, quantize=True)
-    queries_out["ann_ivf_build"] = round(time.time() - t0, 3)
+    # fan-out joined on the cell partition key). Best-of-2 cold builds into
+    # fresh directories + best-of-2 searches: these short phases showed 3-5x
+    # window noise across r6 runs (hw_calib rows confirmed host contention)
     from pyspark.sql import functions as _F
 
+    from pysearch.ops.vector_index import build_vector_index, search_vector_index_table
+
+    work_v = tempfile.mkdtemp(prefix="pysearch_vbench_")
+    vb_trials, vt_trials = [], []
     qtab = emb.limit(1000).select(_F.col("vec_id").alias("query_id"), "embedding")
-    t0 = time.time()
-    search_vector_index_table(spark, vidx, qtab, k=10, nprobe=4).count()
-    vt_sec = time.time() - t0
+    for t in range(2):
+        vidx = os.path.join(work_v, f"vidx{t}")
+        t0 = time.time()
+        build_vector_index(spark, emb, vidx, nlist=16, seed=42, quantize=True)
+        vb_trials.append(time.time() - t0)
+        t0 = time.time()
+        search_vector_index_table(spark, vidx, qtab, k=10, nprobe=4).count()
+        vt_trials.append(time.time() - t0)
+    queries_out["ann_ivf_build"] = round(min(vb_trials), 3)
+    vt_sec = min(vt_trials)
     queries_out["ann_ivf_table_1k"] = round(vt_sec, 3)
     shutil.rmtree(work_v, ignore_errors=True)
 
