@@ -126,3 +126,44 @@ def test_filtered_exact_leaves_unfiltered_alone(si_big_seg):
         Query(text="license merge", k=5), with_metrics=True
     )
     assert {r["strategy"] for r in m.collect()} == {"block_max_maxscore"}
+
+
+def test_pq_table_traversal_reads_codes_only(spark, tmp_path_factory):
+    """The quantized query-table path's approx pass must scan ONLY the
+    m-byte code column (ReadSchema without the float embedding column) —
+    reading full vectors on the traversal side would erase the PQ tier's
+    16x scan reduction at 10^6-query scale (BENCH/PLANS.md round-6 plan)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pysearch.ops.vector_index import (
+        build_vector_index,
+        search_vector_index_table,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = os.path.join(str(tmp_path_factory.mktemp("pq_plan")), "pq")
+    build_vector_index(
+        spark, emb, idx, nlist=8, seed=42, quantize=True, quant_kind="pq"
+    )
+    qdf = emb.where("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = search_vector_index_table(spark, idx, qdf, k=10, nprobe=8,
+                                    rerank_factor=12)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # (plan Location strings truncate long paths, so scans are identified by
+    # ReadSchema, not by file name)
+    schemas = [
+        seg.split("ReadSchema")[1].split("\n")[0]
+        for seg in plan.split("FileScan parquet")[1:]
+        if "ReadSchema" in seg
+    ]
+    # the traversal scan reads the m-byte codes and NOT the float vectors
+    code_scans = [sc for sc in schemas if "qcode:binary" in sc]
+    assert code_scans, f"no code-only traversal scan found; schemas={schemas}"
+    for sc in code_scans:
+        assert "embedding" not in sc, sc
+    # the rerank side reads full precision only for broadcast candidate ids
+    assert "BroadcastHashJoin [neighbor_id" in plan
