@@ -250,9 +250,20 @@ class SearchIndex:
             # _postings_df, so Spark's cache manager only substitutes the
             # cache when _postings_source() opts in — the bare parquet union
             # (and its pushdown/pruning plan, which tests guard) stays
-            # available for plan inspection and big-index readers
-            self._postings_cached = self._postings_df.where(F.lit(True)).persist(
-                StorageLevel.MEMORY_AND_DISK
+            # available for plan inspection and big-index readers.
+            # Persisted PRE-PARTITIONED on segment_id: the cached relation's
+            # hash partitioning satisfies the kernel groupBy's clustering
+            # requirement, so every query served from the cache skips the
+            # per-query kernel Exchange outright (guide §2.4 — two
+            # operations keyed the same way share one exchange; here the
+            # exchange is paid ONCE at refresh). Partition count uses the
+            # session's shuffle budget so few-segment indexes still spread
+            # kernel groups across cores (hash collisions at N=#segments
+            # partitions serialized ~40% of kernel tasks).
+            self._postings_cached = (
+                self._postings_df.where(F.lit(True))
+                .repartition(self._shuffle_budget(), "segment_id")
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
         self._df_cache: dict[str, int] | None = None
         total_terms = sum(m["num_terms"] for m in self.manifests.values())
@@ -452,16 +463,27 @@ class SearchIndex:
     def idf(self, df_t: int) -> float:
         return float(np.log(1.0 + (self.num_docs - df_t + 0.5) / (df_t + 0.5)))
 
+    def _shuffle_budget(self) -> int:
+        """The session's shuffle-partition budget (cluster-sized conf, local
+        default = core count) — the scale-adaptive parallelism ceiling for
+        kernel stages."""
+        try:
+            return max(1, int(self.spark.conf.get("spark.sql.shuffle.partitions")))
+        except Exception:
+            return 200
+
     def _kernel_partitions(self) -> int:
         """Partition count for kernel (applyInPandas) stages: one task per
         segment up to the session's shuffle-partition budget. Pinned via an
         explicit repartition so AQE's byte-based coalescing can't serialize
         a CPU-heavy kernel stage whose shuffle happens to be small."""
-        try:
-            cur = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        except Exception:
-            cur = 200
-        return max(1, min(len(self.segments), cur))
+        return max(1, min(len(self.segments), self._shuffle_budget()))
+
+    def _postings_prepartitioned(self) -> bool:
+        """True when _postings_source() serves the refresh-time cache, whose
+        persisted plan is already hash-partitioned on segment_id — kernel
+        stages then need no per-query repartition (no Exchange at all)."""
+        return self._postings_cached is not None
 
     def _postings_source(self) -> DataFrame:
         """The hot cached union when the size gate admitted it, else the
@@ -632,9 +654,12 @@ class SearchIndex:
             ),
         )
         # pin the kernel-stage partition count (see _kernel_partitions: AQE
-        # byte-coalescing must not serialize CPU-heavy pandas groups)
+        # byte-coalescing must not serialize CPU-heavy pandas groups); the
+        # pre-partitioned cache already satisfies the groupBy clustering, so
+        # cached queries run with ZERO exchanges (one stage end to end)
         n_parts = self._kernel_partitions()
-        postings = postings.repartition(n_parts, "segment_id")
+        if not self._postings_prepartitioned():
+            postings = postings.repartition(n_parts, "segment_id")
         if query.filter_expr is None and self._tombstones_df is None:
             # no accept/deny sets exist: skip the cogroup's second exchange
             # entirely (one fewer AQE stage-job on the latency path — the
@@ -938,7 +963,6 @@ class SearchIndex:
         for p in parts[1:]:
             restrict = restrict.unionByName(p)
 
-        kernel = _batch_search_factory(qinfos, cfg.k1, cfg.b, avgdl_map)
         cand_schema = T.StructType(
             [
                 T.StructField("query_id", T.LongType()),
@@ -953,24 +977,68 @@ class SearchIndex:
         # segments serially (measured 115 s -> ~15 s on a 32-segment
         # index). A user-specified repartition pins the count — AQE honors
         # it — and the groupBy reuses the exchange (same hash key).
+        #
+        # QUERY-GROUP salting (guide §2.5 — synthetic keys for idle-core
+        # skew): a big query chunk against a FEW-segment index would run the
+        # whole TAAT pass in #segments tasks, leaving most cores idle. The
+        # postings (small, compressed blocks) are replicated across `qgroups`
+        # sub-keys and each (segment, group) task scores only the queries
+        # with qid % qgroups == group — per-query work unchanged, decode
+        # re-paid qgroups times (cheap vs scoring), kernel parallelism
+        # #segments * qgroups. Scale-adaptive: derived from the session's
+        # shuffle budget, so a many-segment index (budget <= #segments)
+        # keeps qgroups == 1 and replicates nothing.
         n_parts = self._kernel_partitions()
-        postings = postings.repartition(n_parts, "segment_id")
+        # >= 256 queries per group: below that the kernel stage is cheap
+        # enough that the replication exchange costs more than the extra
+        # parallelism buys (measured: 100-query batch 2.98s -> 3.78s salted,
+        # 10k-query table 10.2s -> 3.8s salted)
+        qgroups = max(
+            1,
+            min(
+                self._shuffle_budget() // max(n_parts, 1),
+                -(-len(qinfos) // 256),
+            ),
+        )
+        kernel = _batch_search_factory(qinfos, cfg.k1, cfg.b, avgdl_map, qgroups)
+        if qgroups > 1:
+            garr = F.array(*[F.lit(i) for i in range(qgroups)])
+            postings = postings.withColumn("_qg", F.explode(garr)).repartition(
+                n_parts * qgroups, "segment_id", "_qg"
+            )
+            grouped = postings.groupBy("segment_id", "_qg")
+        else:
+            if not self._postings_prepartitioned():
+                postings = postings.repartition(n_parts, "segment_id")
+            grouped = postings.groupBy("segment_id")
         if not parts:
             # no filters and no tombstones in the whole chunk: one-sided
             # dispatch, no second exchange
             empty_restrict = _empty_restrict_pd(with_qid=True)
-            cands = postings.groupBy("segment_id").applyInPandas(
+            cands = grouped.applyInPandas(
                 lambda pdf: kernel(pdf, empty_restrict), schema=cand_schema
             )
         else:
-            cands = (
-                postings.groupBy("segment_id")
-                .cogroup(
+            if qgroups > 1:
+                # per-query accept rows route to their query's group; shared
+                # tombstone rows (qid = -1) must reach every group
+                filt_r = restrict.where(F.col("qid") >= 0).withColumn(
+                    "_qg", F.pmod(F.col("qid"), F.lit(qgroups)).cast("int")
+                )
+                tomb_r = restrict.where(F.col("qid") < 0).withColumn(
+                    "_qg", F.explode(garr)
+                )
+                restrict_g = filt_r.unionByName(tomb_r).repartition(
+                    n_parts * qgroups, "segment_id", "_qg"
+                )
+                cands = grouped.cogroup(
+                    restrict_g.groupBy("segment_id", "_qg")
+                ).applyInPandas(kernel, schema=cand_schema)
+            else:
+                cands = grouped.cogroup(
                     restrict.repartition(n_parts, "segment_id")
                     .groupBy("segment_id")
-                )
-                .applyInPandas(kernel, schema=cand_schema)
-            )
+                ).applyInPandas(kernel, schema=cand_schema)
         from pyspark.sql import Window
 
         w = Window.partitionBy("query_id").orderBy(
@@ -1475,7 +1543,7 @@ def _metrics_schema():
 _DENSE_RANGE_CAP = 1 << 21
 
 
-def _batch_search_factory(qinfos, k1, b, avgdl_map):
+def _batch_search_factory(qinfos, k1, b, avgdl_map, qgroups: int = 1):
     """Batch kernel: queries AMORTIZE decode work. Each term's posting list
     is decoded ONCE per segment (not once per query) and its tf-norm —
     tf / (tf + k1*(1-b+b*dl/avgdl)) — is query-independent, so it is cached
@@ -1500,6 +1568,14 @@ def _batch_search_factory(qinfos, k1, b, avgdl_map):
         )
         if len(blocks) == 0:
             return empty
+        # query-group salting: this (segment, group) task scores ONLY the
+        # queries routed to its group — per-query work identical to the
+        # unsalted kernel, just spread across more tasks
+        if qgroups > 1:
+            g = int(blocks["_qg"].iloc[0])
+            infos = [i for i in qinfos if i["qid"] % qgroups == g]
+        else:
+            infos = qinfos
         deny = None
         if len(restrict):
             d = restrict.loc[restrict["flag"] == 0, "doc_id"].to_numpy(np.int64)
@@ -1534,7 +1610,7 @@ def _batch_search_factory(qinfos, k1, b, avgdl_map):
                 hit = decoded[t] = (ids, tfn)
             return hit
 
-        for info in qinfos:
+        for info in infos:
             terms = [t for t in info["terms"] if t in term_groups]
             if not terms:
                 continue
