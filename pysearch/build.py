@@ -101,6 +101,28 @@ TF_SCHEMA = T.StructType(
     ]
 )
 
+# positions-off build shuffle: aggregated per-(term, doc) tf rows (no
+# positions column — aggregate before the shuffle, guide §2.3)
+TF_SCHEMA_NOPOS = T.StructType(
+    [f for f in TF_SCHEMA.fields if f.name != "positions"]
+)
+
+# positions-tier build shuffle: ONE ROW PER OCCURRENCE with scalar columns
+# only. A per-posting ArrayType(positions) column costs ~3x the whole
+# tokenize+encode kernel time in np.split + Arrow list building + the
+# per-posting Python re-assembly on the encoder side (measured 1.6s vs 0.4s
+# per 3k docs); flat int columns keep both Arrow boundaries vectorized
+# (guide §4.2) and the encoder groups occurrences with integer sort keys.
+OCC_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dl", T.IntegerType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("bucket", T.IntegerType()),
+    ]
+)
+
 
 def _tokenize_tf_factory(
     term_buckets: int,
@@ -122,11 +144,14 @@ def _tokenize_tf_factory(
         from pysearch.analyze import tokenize_code_text, tokenize_text
 
         tok = tokenize_code_text if code_aware else tokenize_text
-        with_pos = store_positions and is_primary
+        # uniform row shape per factory: when the positions tier is on,
+        # EVERY field emits occurrence rows (extra fields' position streams
+        # are valid data; only the primary field's feed phrase matching)
+        with_pos = store_positions
         toks = pdf[col].map(tok)
         dl = toks.map(len).astype("int32")
         dl_np = dl.to_numpy()
-        if with_pos and dl_np.size and int(dl_np.max()) >= (1 << 22):
+        if with_pos and is_primary and dl_np.size and int(dl_np.max()) >= (1 << 22):
             # phrase keys pack position into 22 bits (query._POS_SHIFT);
             # fail loudly at index time instead of silently corrupting
             # phrase matches at query time
@@ -149,41 +174,46 @@ def _tokenize_tf_factory(
         pos = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, dl_np)
 
         if with_pos:
-            # group occurrences by (term, doc): stable sort keeps the
-            # intra-doc position order ascending within each posting
-            order = np.lexsort((doc_ids, terms.astype("U")))
-            g_terms, g_docs, g_pos = terms[order], doc_ids[order], pos[order]
-            g_dl = np.repeat(dl_np, dl_np)[order]
-            bnd = np.flatnonzero(
-                np.concatenate(
-                    ([True], (g_terms[1:] != g_terms[:-1]) | (g_docs[1:] != g_docs[:-1]))
-                )
-            )
-            counts = np.diff(np.append(bnd, total))
+            # occurrence rows, scalar columns only — no per-(term,doc)
+            # grouping here at all: the encoder groups after the bucket
+            # shuffle with integer sort keys (the rows land there anyway,
+            # and a list column costs 3x the kernel in split/serialize)
             tf = pd.DataFrame(
                 {
-                    "term": g_terms[bnd],
-                    "doc_id": g_docs[bnd].astype(np.int64),
-                    "dl": g_dl[bnd].astype(np.int32),
-                    "tf": counts.astype(np.int64),
-                    "positions": np.split(g_pos.astype(np.int32), np.cumsum(counts)[:-1]),
+                    "term": terms,
+                    "doc_id": doc_ids.astype(np.int64),
+                    "dl": np.repeat(dl_np, dl_np).astype(np.int32),
+                    "pos": pos.astype(np.int32),
                 }
             )
         else:
-            exploded = pd.DataFrame(
-                {"doc_id": doc_ids, "dl": np.repeat(dl_np, dl_np), "term": terms}
+            # per-(term, doc) tf via integer keys: factorize hashes each
+            # distinct term once, then one int64 argsort replaces the pandas
+            # object-tuple groupby (2-3x on boilerplate-heavy batches)
+            codes, _uniq = pd.factorize(terms, sort=False)
+            key = codes.astype(np.int64) * np.int64(len(pdf)) + np.repeat(
+                np.arange(len(pdf), dtype=np.int64), dl_np
             )
-            tf = (
-                exploded.groupby(["term", "doc_id", "dl"], sort=False)
-                .size()
-                .rename("tf")
-                .reset_index()
+            uk, first_idx, counts = np.unique(
+                key, return_index=True, return_counts=True
             )
-            tf["tf"] = tf["tf"].astype("int64")
-            tf["positions"] = [[]] * len(tf)
+            tf = pd.DataFrame(
+                {
+                    "term": terms[first_idx],
+                    "doc_id": doc_ids[first_idx].astype(np.int64),
+                    "dl": np.repeat(dl_np, dl_np)[first_idx].astype(np.int32),
+                    "tf": counts.astype(np.int64),
+                }
+            )
         if not is_primary:
             tf["term"] = col + FIELD_SEP + tf["term"]
         return tf
+
+    out_cols = (
+        ["term", "doc_id", "dl", "pos", "bucket"]
+        if store_positions
+        else ["term", "doc_id", "dl", "tf", "bucket"]
+    )
 
     def run(batches):
         for pdf in batches:
@@ -200,9 +230,71 @@ def _tokenize_tf_factory(
             uniq = tf["term"].unique()
             bmap = {t: bucket_of(t, term_buckets) for t in uniq}
             tf["bucket"] = tf["term"].map(bmap).astype("int32")
-            yield tf[["term", "doc_id", "dl", "tf", "bucket", "positions"]]
+            yield tf[out_cols]
 
     return run
+
+
+def _encode_bucket_occ_factory(block_size: int, min_compress: int = 1):
+    """Posting-block encoder over OCCURRENCE rows (OCC_SCHEMA — the
+    positions-tier build shuffle). Groups occurrences into postings with
+    integer sort keys: factorize the term column once, rank-map the codes so
+    the term iteration order is lexicographic (deterministic output
+    regardless of shuffle arrival order), then one int64 lexsort by
+    (term_rank, doc_id, pos) yields every posting's tf and its ascending
+    position run as slices — no per-posting Python objects anywhere."""
+
+    def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, list] = {k: [] for k in BLOCK_SCHEMA.fieldNames()}
+        if not len(pdf):
+            return pd.DataFrame(rows)
+        bucket = int(pdf["bucket"].iloc[0])
+        terms = pdf["term"].to_numpy()
+        codes, uniq = pd.factorize(terms, sort=False)
+        # rank codes into lexicographic term order (argsort of ~1e3 distinct
+        # strings, not of the full occurrence column)
+        uniq = np.asarray(uniq, dtype=object)
+        order_terms = np.argsort(uniq)
+        rank = np.empty(len(uniq), dtype=np.int64)
+        rank[order_terms] = np.arange(len(uniq))
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        dls = pdf["dl"].to_numpy(np.int64)
+        pos = pdf["pos"].to_numpy(np.int64)
+        srt = np.lexsort((pos, ids, rank[codes]))
+        r_s, d_s, dl_s, p_s = rank[codes][srt], ids[srt], dls[srt], pos[srt]
+        # posting boundaries: change of (term_rank, doc)
+        bnd = np.flatnonzero(
+            np.concatenate(
+                ([True], (r_s[1:] != r_s[:-1]) | (d_s[1:] != d_s[:-1]))
+            )
+        )
+        tf_all = np.diff(np.append(bnd, len(r_s)))
+        # term boundaries over the postings
+        tr = r_s[bnd]
+        tbnd = np.flatnonzero(np.concatenate(([True], tr[1:] != tr[:-1])))
+        tbounds = np.append(tbnd, len(tr))
+        occ_starts = bnd  # occurrence index where each posting starts
+        sorted_terms = uniq[order_terms]
+        for t_i in range(len(tbnd)):
+            s, e = tbounds[t_i], tbounds[t_i + 1]
+            term = sorted_terms[tr[s]]
+            occ_lo = occ_starts[s]
+            occ_hi = occ_starts[e] if e < len(occ_starts) else len(r_s)
+            for blk in encode_posting_blocks(
+                d_s[bnd[s:e]], tf_all[s:e], dl_s[bnd[s:e]], block_size,
+                min_compress, positions_concat=p_s[occ_lo:occ_hi],
+            ):
+                rows["term"].append(term)
+                rows["bucket"].append(bucket)
+                for name, val in zip(
+                    ["block_id", "n", "first_id", "last_id", "ids", "tfs", "dls",
+                     "max_tf", "min_dl", "sum_tf", "codec", "poss"],
+                    blk,
+                ):
+                    rows[name].append(val)
+        return pd.DataFrame(rows)
+
+    return encode_bucket
 
 
 def _encode_bucket_factory(block_size: int, min_compress: int = 1, store_positions: bool = False):
@@ -287,13 +379,16 @@ def build_segment_from_df(
             store_positions=config.store_positions,
             fields=fields,
         ),
-        schema=TF_SCHEMA,
+        # positions tier ships flat occurrence rows (scalar columns only);
+        # the tf aggregation happens in the encoder after the bucket shuffle
+        schema=OCC_SCHEMA if config.store_positions else TF_SCHEMA_NOPOS,
     ).persist()
 
     blocks = tfrows.groupBy("bucket").applyInPandas(
-        _encode_bucket_factory(
-            config.block_size, config.min_block_docs,
-            store_positions=config.store_positions,
+        _encode_bucket_occ_factory(config.block_size, config.min_block_docs)
+        if config.store_positions
+        else _encode_bucket_factory(
+            config.block_size, config.min_block_docs, store_positions=False
         ),
         schema=BLOCK_SCHEMA,
     )
@@ -385,14 +480,24 @@ def finalize_segment(
     never materializes the binary columns for the aggregates."""
     # explicit schema: a zero-posting segment (valid, M8) has no data files
     written = spark.read.schema(BLOCK_SCHEMA).parquet(meta.postings_path(segment_id))
-    dictionary = written.groupBy("term", "bucket").agg(
+    # ONE scan serves the dictionary AND the per-bucket lineage: the
+    # per-(term, bucket) aggregate (with the binary payload lengths folded
+    # in) is persisted tiny, the dictionary projects it, and the per-bucket
+    # rollup re-aggregates it — previously the postings were scanned twice,
+    # once of them reading every binary column just for F.length
+    per_term = written.groupBy("term", "bucket").agg(
         F.sum("n").cast("long").alias("df"),
         F.sum("sum_tf").cast("long").alias("cf"),
         F.count(F.lit(1)).cast("int").alias("n_blocks"),
+        (
+            F.sum(F.length("ids")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))
+        ).alias("payload_bytes"),
+    ).persist()
+    per_term.select("term", "bucket", "df", "cf", "n_blocks").repartition(
+        1
+    ).sortWithinPartitions("term").write.mode("overwrite").parquet(
+        meta.dictionary_path(segment_id)
     )
-    dictionary.repartition(1).sortWithinPartitions("term").write.mode(
-        "overwrite"
-    ).parquet(meta.dictionary_path(segment_id))
 
     dm = spark.read.parquet(meta.docmap_path(segment_id))
     extra_dl_cols = sorted(c for c in dm.columns if c.startswith("dl_"))
@@ -403,21 +508,19 @@ def finalize_segment(
         F.max("doc_id").alias("doc_max"),
         *[F.sum(c).alias(c) for c in extra_dl_cols],
     ).collect()[0]
-    # one pass over the postings serves dictionary totals AND the per-bucket
-    # lineage (term -> bucket is functional, so per-bucket distinct-term
-    # counts sum to the segment total)
+    # per-bucket rollup from the cached per-term aggregate (term -> bucket
+    # is functional, so per-bucket distinct-term counts sum to the total)
     per_bucket = (
-        written.groupBy("bucket")
+        per_term.groupBy("bucket")
         .agg(
-            F.count(F.lit(1)).alias("n_blocks"),
-            F.sum("n").alias("n_postings"),
-            F.countDistinct("term").alias("n_terms"),
-            (
-                F.sum(F.length("ids")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))
-            ).alias("payload_bytes"),
+            F.sum("n_blocks").alias("n_blocks"),
+            F.sum("df").alias("n_postings"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("payload_bytes").alias("payload_bytes"),
         )
         .collect()
     )
+    per_term.unpersist()
     manifest = {
         "segment_id": segment_id,
         "num_docs": int(doc_stats["num_docs"]),
