@@ -332,16 +332,74 @@ def _decode_factory(with_positions: bool):
     return decode
 
 
+def _reencode_bucket_factory(block_size: int, min_compress: int, store_positions: bool):
+    """Fused decode -> re-encode over one bucket's ENCODED block rows (the
+    no-tombstone compaction kernel). The old pipeline decoded postings to
+    rows in one Arrow stage and shuffled ~40 B/posting (plus position
+    arrays) to the encoder; blocks are already bucketed on disk, so
+    shuffling the compressed block rows instead moves ~10x fewer bytes
+    (guide §2.3 — shuffle the compressed form, expand after placement) and
+    skips the intermediate row materialization entirely. Per term the
+    stitched multi-segment decode and the block re-encode both run inside
+    one task; output blocks are byte-identical to the decode->shuffle->
+    encode path (same postings, same sort, same codec policy)."""
+
+    def reencode(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pysearch.codec import decode_blocks_batch, decode_positions, encode_posting_blocks
+
+        rows: dict[str, list] = {k: [] for k in BLOCK_SCHEMA.fieldNames()}
+        if not len(pdf):
+            return pd.DataFrame(rows)
+        bucket = int(pdf["bucket"].iloc[0])
+        pdf = pdf.sort_values(["term", "first_id"], kind="mergesort")
+        for term, g in pdf.groupby("term", sort=False):
+            ids, tfs, dls = decode_blocks_batch(
+                g["first_id"].to_numpy(np.int64),
+                g["last_id"].to_numpy(np.int64),
+                g["n"].to_numpy(np.int64),
+                list(g["ids"]),
+                list(g["tfs"]),
+                list(g["dls"]),
+                g["codec"].to_numpy(np.int64),
+            )
+            pc = None
+            if store_positions:
+                # stitched multi-block stream decodes with the concatenated
+                # tfs (deltas reset at every posting start); ids ascend
+                # across input segments, so the posting-major order already
+                # matches the encode input order
+                pc = decode_positions(tfs, b"".join(g["poss"]))
+            for blk in encode_posting_blocks(
+                ids, tfs, dls, block_size, min_compress, positions_concat=pc
+            ):
+                rows["term"].append(term)
+                rows["bucket"].append(bucket)
+                for name, val in zip(
+                    ["block_id", "n", "first_id", "last_id", "ids", "tfs", "dls",
+                     "max_tf", "min_dl", "sum_tf", "codec", "poss"],
+                    blk,
+                ):
+                    rows[name].append(val)
+        return pd.DataFrame(rows)
+
+    return reencode
+
+
 def _compact_rewrite(spark, meta, config, seg_ids, new_seg, dead_df):
     """Compaction rebuild (M3/M4 fallback/M6): decode all inputs' postings,
     drop tombstoned docs, re-encode. Global doc ids are stable (they ARE the
     primary identity, unlike Lucene ordinals), so no renumbering is needed —
     the docmap simply loses the dead rows; collection stats become exact
-    again. Runs distributed end to end: decode via mapInPandas, dead docs
-    masked by an anti-join against the delete-file DataFrame (AQE broadcasts
-    it while it fits, shuffles when it doesn't — ids never ride the driver),
-    re-encode via the same bucketed applyInPandas as the build path (M5:
-    identical compression parameters are reused by construction)."""
+    again. Runs distributed end to end; two plans by tombstone presence:
+
+    * no tombstones (force-merge compaction): the ENCODED block rows shuffle
+      by bucket and each task decodes + re-encodes its bucket's terms in one
+      pass (_reencode_bucket_factory) — no decoded-posting exchange at all.
+    * with tombstones: decode via mapInPandas, dead docs masked by an
+      anti-join against the delete-file DataFrame (AQE broadcasts it while
+      it fits, shuffles when it doesn't — ids never ride the driver),
+      re-encode via the same bucketed applyInPandas as the build path (M5:
+      identical compression parameters are reused by construction)."""
     os.makedirs(meta.segment_dir(new_seg), exist_ok=True)
     blocks = [
         read_parquet_union(spark, meta.postings_paths(s), schema=BLOCK_SCHEMA)
@@ -350,18 +408,24 @@ def _compact_rewrite(spark, meta, config, seg_ids, new_seg, dead_df):
     allb = blocks[0]
     for b in blocks[1:]:
         allb = allb.unionByName(b)
-    rows = allb.mapInPandas(
-        _decode_factory(config.store_positions), schema=_POSTING_ROW_SCHEMA
-    )
-    if dead_df is not None:
-        rows = rows.join(dead_df, "doc_id", "left_anti")
-    reenc = rows.groupBy("bucket").applyInPandas(
-        _encode_bucket_factory(
-            config.block_size, config.min_block_docs,
-            store_positions=config.store_positions,
-        ),
-        schema=BLOCK_SCHEMA,
-    )
+    if dead_df is None:
+        reenc = allb.groupBy("bucket").applyInPandas(
+            _reencode_bucket_factory(
+                config.block_size, config.min_block_docs, config.store_positions
+            ),
+            schema=BLOCK_SCHEMA,
+        )
+    else:
+        rows = allb.mapInPandas(
+            _decode_factory(config.store_positions), schema=_POSTING_ROW_SCHEMA
+        ).join(dead_df, "doc_id", "left_anti")
+        reenc = rows.groupBy("bucket").applyInPandas(
+            _encode_bucket_factory(
+                config.block_size, config.min_block_docs,
+                store_positions=config.store_positions,
+            ),
+            schema=BLOCK_SCHEMA,
+        )
     reenc.write.mode("overwrite").partitionBy("bucket").parquet(
         meta.postings_path(new_seg)
     )
