@@ -960,6 +960,212 @@ _OUT_SCHEMA = T.StructType(
 )
 
 
+def _group_cut(qids, nids, sim, kks):
+    """Per-batch per-query cut: keep every row whose half-up-quantized
+    score (floor(sim*1e9+0.5) — the same rounding the global window
+    ranks by) is within ONE quantum of the per-query kks-th best (kks is
+    per-ROW, constant within a query — the method_parameters k). This is
+    the tie-inclusive THRESHOLD form the text batch kernel uses — a
+    provable superset of the per-query top-k under the window's rounded
+    ordering, with no fixed positional-slack assumption (a positional
+    cut could drop a global-top-k row if >slack rounding-boundary ties
+    landed in one batch)."""
+    r = np.floor(sim * 1e9 + 0.5)
+    order = np.lexsort((nids, -r, qids))
+    qids, nids, sim, r, kks = (
+        qids[order], nids[order], sim[order], r[order], kks[order]
+    )
+    starts = np.flatnonzero(np.concatenate(([True], qids[1:] != qids[:-1])))
+    counts = np.diff(np.concatenate((starts, [qids.size])))
+    kth = np.repeat(
+        r[starts + np.minimum(kks[starts] - 1, counts - 1)], counts
+    )
+    keep = r >= kth - 1.0
+    return qids[keep], nids[keep], sim[keep], keep
+
+
+def _flat_pairs(S, pq, nid):
+    """Flatten a (nq, nx) similarity matrix into pair arrays with the self
+    pair removed: (qids, nids, sim, probe_row_index)."""
+    nq, nx = S.shape
+    qids = np.repeat(pq, nx)
+    nids = np.tile(nid, nq)
+    sim = S.ravel()
+    pidx = np.repeat(np.arange(nq, dtype=np.int64), nx)
+    keep = nids != qids
+    return qids[keep], nids[keep], sim[keep], pidx[keep]
+
+
+def _cell_exact_kernel(space):
+    """Cogrouped per-(cell, salt) EXACT scoring kernel for the query-table
+    path: one similarity matrix per group (each query embedding and each
+    data vector crosses the Arrow boundary ONCE — the old per-pair join
+    shipped q_emb once per candidate pair, dim x 8 bytes each), then the
+    same tie-inclusive per-query cut as the pair kernel on the flattened
+    scores. Query axis chunked to bound the matrix."""
+
+    def kern(probes_pdf: pd.DataFrame, data_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
+        )
+        if not len(probes_pdf) or not len(data_pdf):
+            return empty
+        Q = np.stack(probes_pdf["q_emb"].to_numpy())
+        pq = probes_pdf["query_id"].to_numpy(np.int64)
+        pk = probes_pdf["_k"].to_numpy(np.int64)
+        X = np.stack(data_pdf["embedding"].to_numpy()).astype(np.float64)
+        nid = data_pdf["vec_id"].to_numpy(np.int64)
+        outs = []
+        for q0 in range(0, pq.size, _QUERY_CHUNK):
+            q1 = min(q0 + _QUERY_CHUNK, pq.size)
+            S = _space_similarities(Q[q0:q1], X, space)
+            qids, nids, sim, pidx = _flat_pairs(S, pq[q0:q1], nid)
+            if not qids.size:
+                continue
+            kks = pk[q0:q1][pidx]
+            qids, nids, sim, _ = _group_cut(qids, nids, sim, kks)
+            outs.append((qids, nids, sim))
+        if not outs:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate([o[0] for o in outs]),
+                "neighbor_id": np.concatenate([o[1] for o in outs]),
+                "sim": np.concatenate([o[2] for o in outs]),
+            }
+        )
+
+    return kern
+
+
+def _cell_radial_kernel(space, thr_scalar):
+    """Cogrouped per-(cell, salt) RADIAL kernel: matrix scoring, then the
+    per-row threshold filter (thr_scalar, or the probe row's _ms when the
+    table mixes radial and top-k rows)."""
+
+    def kern(probes_pdf: pd.DataFrame, data_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
+        )
+        if not len(probes_pdf) or not len(data_pdf):
+            return empty
+        Q = np.stack(probes_pdf["q_emb"].to_numpy())
+        pq = probes_pdf["query_id"].to_numpy(np.int64)
+        thr_all = (
+            np.full(pq.size, thr_scalar)
+            if thr_scalar is not None
+            else probes_pdf["_ms"].to_numpy(np.float64)
+        )
+        X = np.stack(data_pdf["embedding"].to_numpy()).astype(np.float64)
+        nid = data_pdf["vec_id"].to_numpy(np.int64)
+        outs = []
+        for q0 in range(0, pq.size, _QUERY_CHUNK):
+            q1 = min(q0 + _QUERY_CHUNK, pq.size)
+            S = _space_similarities(Q[q0:q1], X, space)
+            qids, nids, sim, pidx = _flat_pairs(S, pq[q0:q1], nid)
+            keep = sim >= thr_all[q0:q1][pidx]
+            if not keep.any():
+                continue
+            outs.append((qids[keep], nids[keep], sim[keep]))
+        if not outs:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate([o[0] for o in outs]),
+                "neighbor_id": np.concatenate([o[1] for o in outs]),
+                "sim": np.concatenate([o[2] for o in outs]),
+            }
+        )
+
+    return kern
+
+
+def _cell_approx_kernel(space, bstate):
+    """Cogrouped per-(cell, salt) APPROX-tier kernel: scores the compressed
+    column (int8 dequantized / pq reconstruction / onebit hamming) as one
+    matrix per group and keeps the per-query top-_kt candidates with exactly
+    the pair kernel's positional cut; emits (query_id, neighbor_id, q_emb)
+    for the exact rerank join."""
+
+    def kern(probes_pdf: pd.DataFrame, data_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "q_emb": pd.Series(dtype="object"),
+            }
+        )
+        if not len(probes_pdf) or not len(data_pdf):
+            return empty
+        state = bstate.value if bstate is not None else None
+        Q = np.stack(probes_pdf["q_emb"].to_numpy())
+        pq = probes_pdf["query_id"].to_numpy(np.int64)
+        pkt = probes_pdf["_kt"].to_numpy(np.int64)
+        q_embs = probes_pdf["q_emb"].to_numpy()
+        nid = data_pdf["vec_id"].to_numpy(np.int64)
+        if state is not None and state[0] == "onebit":
+            thr = state[1]
+            xb = np.frombuffer(b"".join(data_pdf["qcode"]), np.uint8).reshape(
+                len(data_pdf), -1
+            )
+            Xa = None
+        else:
+            xb = None
+            Xa = (
+                _pq_decode(b"".join(data_pdf["qcode"]), len(data_pdf), state[1])
+                if state is not None and state[0] == "pq"
+                else _dequantize(data_pdf)
+            )
+        outs_q, outs_n, outs_e = [], [], []
+        for q0 in range(0, pq.size, _QUERY_CHUNK):
+            q1 = min(q0 + _QUERY_CHUNK, pq.size)
+            if xb is not None:
+                qb = np.packbits(Q[q0:q1] > thr[None, :], axis=1)
+                S = -_POPCNT[qb[:, None, :] ^ xb[None, :, :]].sum(axis=2).astype(
+                    np.float64
+                )
+            else:
+                S = _space_similarities(Q[q0:q1], Xa, space)
+            qids, nids, sim, pidx = _flat_pairs(S, pq[q0:q1], nid)
+            if not qids.size:
+                continue
+            kt = pkt[q0:q1][pidx]
+            embs = q_embs[q0:q1][pidx]
+            # identical positional cut to the pair-join approx kernel
+            order = np.lexsort((nids, -np.round(sim, 9), qids))
+            qids, nids, embs, kt = (
+                qids[order], nids[order], embs[order], kt[order]
+            )
+            starts = np.flatnonzero(
+                np.concatenate(([True], qids[1:] != qids[:-1]))
+            )
+            counts = np.diff(np.concatenate((starts, [qids.size])))
+            pos = np.arange(qids.size) - np.repeat(starts, counts)
+            kp = pos < kt
+            outs_q.append(qids[kp])
+            outs_n.append(nids[kp])
+            outs_e.append(embs[kp])
+        if not outs_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(outs_q),
+                "neighbor_id": np.concatenate(outs_n),
+                "q_emb": list(np.concatenate(outs_e)),
+            }
+        )
+
+    return kern
+
+
 def _radial_threshold(
     space: str, min_sim: float | None, max_distance: float | None
 ) -> float | None:
@@ -1305,6 +1511,48 @@ def search_vector_index_table(
     nlist = C.shape[0]
     nprobe = min(nprobe, nlist)
 
+    # cogrouped scoring (the default): probes and data meet per (cell, salt)
+    # group and score as ONE similarity matrix — each query embedding
+    # crosses the Arrow boundary once per probed cell instead of once per
+    # candidate PAIR (the old join shipped q_emb dim x 8 bytes per pair;
+    # at 10^3 queries x 10^2-vector cells that alone was ~10^2 MB per tier).
+    # The salt splits each cell's data rows into `salt` deterministic
+    # sub-groups (probes replicated across them) so kernel parallelism is
+    # nlist x salt, scale-adaptive via the shuffle budget; a many-cell index
+    # keeps salt == 1. allow_pairs (per-query accept sets must prune PAIRS
+    # before scoring) stays on the pair-join path.
+    try:
+        _budget = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except Exception:
+        _budget = 200
+    salt = max(1, min(8, _budget // max(nlist, 1)))
+    # scale switch: below ~10^5 live vectors the per-pair bytes are tiny and
+    # the pair join (broadcast, zero extra exchanges) wins on scheduling
+    # overhead (measured 3.1s vs 4.5s at 2k vectors); above it the pair
+    # materialization grows as cell_size x nprobe x dim x 8 B per query and
+    # the cogroup's two small exchanges are noise (measured 2.2x at 200k
+    # vectors x 5k queries). allow_pairs (per-query accept sets must prune
+    # PAIRS before scoring) always stays on the pair-join path.
+    total_vecs = sum(
+        m.get("num_docs", 0) for m in meta.live_manifests().values()
+    )
+    use_cogroup = allow_pairs is None and total_vecs >= int(
+        os.environ.get("PYSEARCH_VEC_COGROUP_MIN_DOCS", "100000")
+    )
+
+    def _cogrouped(probes: DataFrame, data: DataFrame):
+        if salt == 1:
+            p = probes.withColumn("_s", F.lit(0))
+            d = data.withColumn("_s", F.lit(0))
+        else:
+            p = probes.withColumn(
+                "_s", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+            )
+            d = data.withColumn(
+                "_s", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(salt)).cast("int")
+            )
+        return p.groupBy("cell", "_s").cogroup(d.groupBy("cell", "_s"))
+
     probe_schema = T.StructType(
         [
             T.StructField("query_id", T.LongType()),
@@ -1459,9 +1707,14 @@ def search_vector_index_table(
                 spark, plain_paths + quant_paths, ["vec_id", "embedding", "cell"]
             )
         )
-        local = pair_filtered(probes.join(data_all, "cell")).mapInPandas(
-            radial_pairs, schema=_OUT_SCHEMA
-        )
+        if use_cogroup:
+            local = _cogrouped(probes, data_all).applyInPandas(
+                _cell_radial_kernel(space, thr_scalar), schema=_OUT_SCHEMA
+            )
+        else:
+            local = pair_filtered(probes.join(data_all, "cell")).mapInPandas(
+                radial_pairs, schema=_OUT_SCHEMA
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.desc(F.round(F.col("sim"), 9)), F.asc("neighbor_id")
         )
@@ -1469,29 +1722,6 @@ def search_vector_index_table(
 
     if radial:
         return radial_out(probes_df, float(min_sim))
-
-    def _group_cut(qids, nids, sim, kks):
-        """Per-batch per-query cut: keep every row whose half-up-quantized
-        score (floor(sim*1e9+0.5) — the same rounding the global window
-        ranks by) is within ONE quantum of the per-query kks-th best (kks is
-        per-ROW, constant within a query — the method_parameters k). This is
-        the tie-inclusive THRESHOLD form the text batch kernel uses — a
-        provable superset of the per-query top-k under the window's rounded
-        ordering, with no fixed positional-slack assumption (a positional
-        cut could drop a global-top-k row if >slack rounding-boundary ties
-        landed in one batch)."""
-        r = np.floor(sim * 1e9 + 0.5)
-        order = np.lexsort((nids, -r, qids))
-        qids, nids, sim, r, kks = (
-            qids[order], nids[order], sim[order], r[order], kks[order]
-        )
-        starts = np.flatnonzero(np.concatenate(([True], qids[1:] != qids[:-1])))
-        counts = np.diff(np.concatenate((starts, [qids.size])))
-        kth = np.repeat(
-            r[starts + np.minimum(kks[starts] - 1, counts - 1)], counts
-        )
-        keep = r >= kth - 1.0
-        return qids[keep], nids[keep], sim[keep], keep
 
     def score_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1518,10 +1748,17 @@ def search_vector_index_table(
             data_f = masked(
                 _read_paths(spark, plain_paths, ["vec_id", "embedding", "cell"])
             )
-            locals_.append(
-                pair_filtered(probes.join(data_f, "cell"))
-                .mapInPandas(score_pairs, schema=_OUT_SCHEMA)
-            )
+            if use_cogroup:
+                locals_.append(
+                    _cogrouped(probes, data_f).applyInPandas(
+                        _cell_exact_kernel(space), schema=_OUT_SCHEMA
+                    )
+                )
+            else:
+                locals_.append(
+                    pair_filtered(probes.join(data_f, "cell"))
+                    .mapInPandas(score_pairs, schema=_OUT_SCHEMA)
+                )
         if quant_paths:
             quant_kind = cfg.extra.get("quant_kind", "int8")
             state2 = _load_quant_state(index_dir, quant_kind)
@@ -1593,9 +1830,14 @@ def search_vector_index_table(
                         }
                     )
 
-            cand = pair_filtered(probes.join(data_q, "cell")).mapInPandas(
-                approx_pairs, schema=cand_schema
-            )
+            if use_cogroup:
+                cand = _cogrouped(probes, data_q).applyInPandas(
+                    _cell_approx_kernel(space, bthr2), schema=cand_schema
+                )
+            else:
+                cand = pair_filtered(probes.join(data_q, "cell")).mapInPandas(
+                    approx_pairs, schema=cand_schema
+                )
             # exact rescore: candidates join the full-precision column of the
             # probed cells only (the semi-join against the probe fan-out keeps
             # the pruning — candidates are inside probed cells by construction)
