@@ -47,9 +47,17 @@ def _pack_binary(M: np.ndarray) -> np.ndarray:
     return np.packbits(np.asarray(M, dtype=np.float64) > 0.5, axis=1)
 
 
+# byte budget for the (nq_chunk, n, dim) intermediate the elementwise
+# spaces (l1 / linf / hamming) materialize: the query axis is processed in
+# chunks sized so the tensor stays cache-friendly and a 10^4-query call
+# cannot OOM a worker (results identical — each query row is independent)
+_PAIR_TENSOR_BUDGET = 1 << 27  # 128 MiB of float64 elements equivalent
+
+
 def _space_similarities(Q: np.ndarray, X: np.ndarray, space: str) -> np.ndarray:
     """(nq, n) raw similarity matrix, higher = more similar. Distance spaces
-    are negated so one descending sort serves every space."""
+    are negated so one descending sort serves every space. The elementwise
+    spaces chunk the query axis to bound their (nq, n, dim) intermediate."""
     if space == "cosinesimil":
         return _normalize(Q) @ _normalize(X).T
     if space == "innerproduct":
@@ -59,18 +67,29 @@ def _space_similarities(Q: np.ndarray, X: np.ndarray, space: str) -> np.ndarray:
         return -(
             (Q * Q).sum(axis=1)[:, None] + (X * X).sum(axis=1)[None, :] - 2 * (Q @ X.T)
         )
-    if space == "l1":
-        return -np.abs(Q[:, None, :] - X[None, :, :]).sum(axis=2)
-    if space == "linf":
-        return -np.abs(Q[:, None, :] - X[None, :, :]).max(axis=2)
+    if space in ("l1", "linf"):
+        per_q = max(1, X.shape[0] * max(X.shape[1], 1) * 8)
+        step = max(1, _PAIR_TENSOR_BUDGET // per_q)
+        out = np.empty((Q.shape[0], X.shape[0]), dtype=np.float64)
+        for q0 in range(0, Q.shape[0], step):
+            q1 = min(q0 + step, Q.shape[0])
+            D = np.abs(Q[q0:q1, None, :] - X[None, :, :])
+            out[q0:q1] = -(D.sum(axis=2) if space == "l1" else D.max(axis=2))
+        return out
     if space == "hamming":
         # binary vectors (SpaceType.java HAMMING): negative bit distance
         # via packbits + POPCNT lookup — dim/8 bytes per row in the xor
         # tensor instead of dim floats
         qb, xb = _pack_binary(Q), _pack_binary(X)
-        return -_POPCNT_TBL[qb[:, None, :] ^ xb[None, :, :]].sum(axis=2).astype(
-            np.float64
-        )
+        per_q = max(1, xb.shape[0] * max(xb.shape[1], 1))
+        step = max(1, _PAIR_TENSOR_BUDGET // per_q)
+        out = np.empty((qb.shape[0], xb.shape[0]), dtype=np.float64)
+        for q0 in range(0, qb.shape[0], step):
+            q1 = min(q0 + step, qb.shape[0])
+            out[q0:q1] = -_POPCNT_TBL[qb[q0:q1, None, :] ^ xb[None, :, :]].sum(
+                axis=2
+            ).astype(np.float64)
+        return out
     raise ValueError(f"unknown space {space!r}; one of {SPACES}")
 
 
