@@ -260,9 +260,10 @@ class SearchIndex:
             # session's shuffle budget so few-segment indexes still spread
             # kernel groups across cores (hash collisions at N=#segments
             # partitions serialized ~40% of kernel tasks).
+            self._postings_cache_parts = self._shuffle_budget()
             self._postings_cached = (
                 self._postings_df.where(F.lit(True))
-                .repartition(self._shuffle_budget(), "segment_id")
+                .repartition(self._postings_cache_parts, "segment_id")
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
         self._df_cache: dict[str, int] | None = None
@@ -658,8 +659,14 @@ class SearchIndex:
         # pre-partitioned cache already satisfies the groupBy clustering, so
         # cached queries run with ZERO exchanges (one stage end to end)
         n_parts = self._kernel_partitions()
-        if not self._postings_prepartitioned():
+        if self._postings_prepartitioned():
+            # the cogroup requires CO-partitioned children: the restrict
+            # side must match the cache's partition count or Spark re-adds
+            # an exchange on the postings side too
+            restrict_parts = self._postings_cache_parts
+        else:
             postings = postings.repartition(n_parts, "segment_id")
+            restrict_parts = n_parts
         if query.filter_expr is None and self._tombstones_df is None:
             # no accept/deny sets exist: skip the cogroup's second exchange
             # entirely (one fewer AQE stage-job on the latency path — the
@@ -672,7 +679,7 @@ class SearchIndex:
             candidates = (
                 postings.groupBy("segment_id")
                 .cogroup(
-                    restrict.repartition(n_parts, "segment_id")
+                    restrict.repartition(restrict_parts, "segment_id")
                     .groupBy("segment_id")
                 )
                 .applyInPandas(kernel, schema=HIT_SCHEMA)
@@ -1035,8 +1042,16 @@ class SearchIndex:
                     restrict_g.groupBy("segment_id", "_qg")
                 ).applyInPandas(kernel, schema=cand_schema)
             else:
+                # co-partition the restrict side with the postings side
+                # (cache partition count when the cache serves the scan) so
+                # the cogroup adds no exchange above the cached postings
+                r_parts = (
+                    self._postings_cache_parts
+                    if self._postings_prepartitioned()
+                    else n_parts
+                )
                 cands = grouped.cogroup(
-                    restrict.repartition(n_parts, "segment_id")
+                    restrict.repartition(r_parts, "segment_id")
                     .groupBy("segment_id")
                 ).applyInPandas(kernel, schema=cand_schema)
         from pyspark.sql import Window
