@@ -420,8 +420,14 @@ def build_segment_from_df(
     )
     # doc_id-range-partitioned, sorted files: row-group pruning on doc_id
     # works AND the sha256 + write runs parallel (a single-file docmap was a
-    # measurable serial bottleneck in the scaling benchmark)
+    # measurable serial bottleneck in the scaling benchmark). Doc stats are
+    # OBSERVED during the write action (zero extra pass — the finalize step
+    # previously re-scanned the docmap just for these aggregates).
+    from pyspark.sql import Observation
+
     docmap_files = max(par // 4, 1)
+    obs = Observation()
+    extra_dl_cols = sorted(dl_col(f) for f in fields[1:])
     (
         seg.select(
             "doc_id",
@@ -437,14 +443,26 @@ def build_segment_from_df(
         )
         .repartitionByRange(docmap_files, "doc_id")
         .sortWithinPartitions("doc_id")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("num_docs"),
+            F.sum("dl").alias("sum_dl"),
+            F.min("doc_id").alias("doc_min"),
+            F.max("doc_id").alias("doc_max"),
+            *[F.sum(c).alias(c) for c in extra_dl_cols],
+        )
         .write.mode("overwrite")
         .parquet(meta.docmap_path(segment_id))
     )
+    doc_stats = obs.get
     tfrows.unpersist()
     seg.unpersist()
     mark("docmap")
 
-    manifest = finalize_segment(spark, meta, config, segment_id, source, t0, stage="build")
+    manifest = finalize_segment(
+        spark, meta, config, segment_id, source, t0, stage="build",
+        doc_stats=doc_stats,
+    )
     mark("finalize")
     if debug:
         import sys
@@ -473,11 +491,15 @@ def finalize_segment(
     source: dict,
     t0: float,
     stage: str,
+    doc_stats: dict | None = None,
 ) -> dict:
     """Shared tail of build & merge: derive dictionary/stats/manifest/metrics
     from the already-written postings + docmap (the VectorIndexFieldMetadata
     write, JVectorWriter.java:512-563). Column-pruned read-back: Parquet
-    never materializes the binary columns for the aggregates."""
+    never materializes the binary columns for the aggregates. `doc_stats`:
+    optionally the docmap aggregates already OBSERVED during the docmap
+    write (num_docs, sum_dl, doc_min, doc_max, dl_<f> sums) — skips the
+    docmap re-scan; when absent (merge paths) finalize scans as before."""
     # explicit schema: a zero-posting segment (valid, M8) has no data files
     written = spark.read.schema(BLOCK_SCHEMA).parquet(meta.postings_path(segment_id))
     # ONE scan serves the dictionary AND the per-bucket lineage: the
@@ -499,15 +521,21 @@ def finalize_segment(
         meta.dictionary_path(segment_id)
     )
 
-    dm = spark.read.parquet(meta.docmap_path(segment_id))
-    extra_dl_cols = sorted(c for c in dm.columns if c.startswith("dl_"))
-    doc_stats = dm.agg(
-        F.count(F.lit(1)).alias("num_docs"),
-        F.sum("dl").alias("sum_dl"),
-        F.min("doc_id").alias("doc_min"),
-        F.max("doc_id").alias("doc_max"),
-        *[F.sum(c).alias(c) for c in extra_dl_cols],
-    ).collect()[0]
+    if doc_stats is None:
+        dm = spark.read.parquet(meta.docmap_path(segment_id))
+        extra_dl_cols = sorted(c for c in dm.columns if c.startswith("dl_"))
+        doc_stats = (
+            dm.agg(
+                F.count(F.lit(1)).alias("num_docs"),
+                F.sum("dl").alias("sum_dl"),
+                F.min("doc_id").alias("doc_min"),
+                F.max("doc_id").alias("doc_max"),
+                *[F.sum(c).alias(c) for c in extra_dl_cols],
+            )
+            .collect()[0]
+            .asDict()
+        )
+    extra_dl_cols = sorted(c for c in doc_stats if c.startswith("dl_"))
     # per-bucket rollup from the cached per-term aggregate (term -> bucket
     # is functional, so per-bucket distinct-term counts sum to the total)
     per_bucket = (
