@@ -260,12 +260,33 @@ class SearchIndex:
             # session's shuffle budget so few-segment indexes still spread
             # kernel groups across cores (hash collisions at N=#segments
             # partitions serialized ~40% of kernel tasks).
+            # the cached plan must be compiled NON-adaptively: an AQE-wrapped
+            # cached plan reports unknown output partitioning to the outer
+            # query, which re-inserts an ENSURE_REQUIREMENTS exchange above
+            # every InMemoryTableScan — exactly the shuffle the
+            # pre-partitioning exists to remove (verified by plan capture:
+            # AQE-persisted cache -> 1 exchange/query, static -> 0).
+            # Spark compiles the cache's physical plan eagerly at persist(),
+            # so AQE only needs to be off for this call; the save/restore is
+            # under the same lock the single-query tuning uses.
             self._postings_cache_parts = self._shuffle_budget()
-            self._postings_cached = (
-                self._postings_df.where(F.lit(True))
-                .repartition(self._postings_cache_parts, "segment_id")
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            )
+            with _CONF_LOCK:
+                try:
+                    saved_aqe = self.spark.conf.get("spark.sql.adaptive.enabled")
+                except Exception:
+                    saved_aqe = None
+                try:
+                    self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+                    self._postings_cached = (
+                        self._postings_df.where(F.lit(True))
+                        .repartition(self._postings_cache_parts, "segment_id")
+                        .persist(StorageLevel.MEMORY_AND_DISK)
+                    )
+                finally:
+                    if saved_aqe is not None:
+                        self.spark.conf.set(
+                            "spark.sql.adaptive.enabled", saved_aqe
+                        )
         self._df_cache: dict[str, int] | None = None
         total_terms = sum(m["num_terms"] for m in self.manifests.values())
         if 0 < total_terms <= 2_000_000 and self._dictionary_df is not None:
