@@ -239,10 +239,12 @@ class SearchIndex:
         # by size exactly like the identity cache — a 10^12-file index stays
         # on the parquet pushdown path (which tests/test_plan_properties.py
         # guards against the UNCACHED reader below).
-        prev_hot = getattr(self, "_postings_cached", None)
-        if prev_hot is not None:
-            prev_hot.unpersist()
+        for attr in ("_postings_cached", "_docmaps_cached"):
+            prev_hot = getattr(self, attr, None)
+            if prev_hot is not None:
+                prev_hot.unpersist()
         self._postings_cached = None
+        self._docmaps_cached = None
         if 0 < self.num_docs <= self.IDENTITY_CACHE_MAX_DOCS and self._postings_df is not None:
             from pyspark import StorageLevel
 
@@ -282,6 +284,18 @@ class SearchIndex:
                         .repartition(self._postings_cache_parts, "segment_id")
                         .persist(StorageLevel.MEMORY_AND_DISK)
                     )
+                    # docmap cache, same gate + same pre-partitioning: the
+                    # accept-set side of a FILTERED query then preserves the
+                    # cache's hashpartitioning through its filter, the
+                    # kernel cogroup sees two co-partitioned children, and
+                    # filtered queries run exchange-free like unfiltered
+                    # ones (previously: one docmap parquet scan + one
+                    # restrict exchange per filtered query)
+                    self._docmaps_cached = (
+                        self._docmaps_df.where(F.lit(True))
+                        .repartition(self._postings_cache_parts, "segment_id")
+                        .persist(StorageLevel.MEMORY_AND_DISK)
+                    )
                 finally:
                     if saved_aqe is not None:
                         self.spark.conf.set(
@@ -308,7 +322,13 @@ class SearchIndex:
         # docmap-join job per query; big indexes stay on the fused-join path
         self._identity_cache: dict[int, tuple] | None = None
         if 0 < self.num_docs <= self.IDENTITY_CACHE_MAX_DOCS and self._docmaps_df is not None:
-            rows = self._docmaps_df.select(
+            # collected from the docmap CACHE when present: materializes it
+            # and fetches the identity rows in one job
+            rows = (
+                self._docmaps_cached
+                if self._docmaps_cached is not None
+                else self._docmaps_df
+            ).select(
                 "doc_id", "repo", "path", "lang", "content_sha"
             ).collect()
             self._identity_cache = {
@@ -452,7 +472,11 @@ class SearchIndex:
 
     def docmaps(self, segments: Iterable[str] | None = None) -> DataFrame:
         if segments is None:
-            return self._docmaps_df
+            return (
+                self._docmaps_cached
+                if self._docmaps_cached is not None
+                else self._docmaps_df
+            )
         return self._read_union(self.meta.docmap_paths, segments)
 
     def global_term_stats(self, terms: list[str]) -> dict[str, int]:
@@ -697,12 +721,19 @@ class SearchIndex:
                 lambda pdf: kernel(pdf, empty_restrict), schema=HIT_SCHEMA
             )
         else:
+            r_side = restrict
+            if not (
+                self._postings_prepartitioned()
+                and self._docmaps_cached is not None
+                and self._tombstones_df is None
+            ):
+                # without both pre-partitioned caches (or with tombstone
+                # unions, which lose partitioning) the restrict side needs
+                # an explicit co-partitioning exchange
+                r_side = restrict.repartition(restrict_parts, "segment_id")
             candidates = (
                 postings.groupBy("segment_id")
-                .cogroup(
-                    restrict.repartition(restrict_parts, "segment_id")
-                    .groupBy("segment_id")
-                )
+                .cogroup(r_side.groupBy("segment_id"))
                 .applyInPandas(kernel, schema=HIT_SCHEMA)
             )
         if with_metrics:
@@ -748,7 +779,14 @@ class SearchIndex:
                 ),
                 key=lambda t: (-round(t[1], 9), t[0]),
             )
-            hits = spark.createDataFrame(data, _hits_out_schema())
+            # local result through the ARROW path: createDataFrame on plain
+            # tuples builds a pickled PythonRDD whose .collect() round-trips
+            # Python workers (~0.2 s for <= k rows); a pandas input becomes
+            # JVM-side Arrow batches and collects in ~35 ms
+            hits = spark.createDataFrame(
+                pd.DataFrame(data, columns=_hits_out_schema().fieldNames()),
+                _hits_out_schema(),
+            )
         elif query.min_score is None:
             # big index, k mode: collect the tiny top-k (action 1), then an
             # isin-pushdown docmap lookup (action 2) — the id predicate
@@ -787,7 +825,13 @@ class SearchIndex:
             # are lazy and would otherwise recompute it)
             rows = hits.collect()
             candidates.unpersist()
-            hits = spark.createDataFrame(rows, _hits_out_schema())
+            hits = spark.createDataFrame(
+                pd.DataFrame(
+                    [tuple(r) for r in rows],
+                    columns=_hits_out_schema().fieldNames(),
+                ),
+                _hits_out_schema(),
+            )
             return hits, metrics_df
         return hits
 
